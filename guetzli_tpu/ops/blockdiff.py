@@ -1,0 +1,146 @@
+"""Batched 8x8 butteraugli block difference (butteraugli.cc:352-684).
+
+The reference computes, per 8x8 block pair: DC/edge average differences
+mapped through a low-frequency psychovisual distance, and an AC difference
+from the squared magnitudes of 2-D 8-point real FFTs weighted by a contrast
+sensitivity matrix. Here every step is batched over an arbitrary leading
+block axis, and the FFTs are expressed as 8x8 matrix products so they run on
+the MXU (six small matmuls per channel instead of a butterfly network).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HI = jax.lax.Precision.HIGHEST
+
+from guetzli_tpu import consts
+
+# 8-point DFT matrix, split into real and imaginary parts.
+_u = np.arange(8)
+_W = np.exp(-2j * np.pi * np.outer(_u, _u) / 8.0)
+DFT8_RE = np.ascontiguousarray(_W.real.astype(np.float32))
+DFT8_IM = np.ascontiguousarray(_W.imag.astype(np.float32))
+
+
+def interpolate(lut, s):
+    """Odd (sign-preserving) piecewise-linear LUT (butteraugli.cc:249-263)."""
+    lut = jnp.asarray(np.asarray(lut, dtype=np.float32))
+    n = lut.shape[0]
+    ix = jnp.abs(s)
+    base = jnp.clip(ix.astype(jnp.int32), 0, n - 1)
+    safe = jnp.minimum(base, n - 2)
+    frac = ix - base.astype(ix.dtype)
+    res = lut[safe] + frac * (lut[safe + 1] - lut[safe])
+    res = jnp.where(base >= n - 1, lut[n - 1], res)
+    return jnp.where(s < 0, -res, res)
+
+
+def interpolate_clamp_negative(lut, s):
+    """As interpolate() but clamping inputs below zero (butteraugli.cc:265)."""
+    return interpolate(lut, jnp.maximum(s, 0.0))
+
+
+def xyb_low_freq_to_vals(x, y, z):
+    """butteraugli.cc:305-315."""
+    z = z + np.float32(consts.XYB_LF_Y_TO_Z) * y
+    valz = z * np.float32(consts.XYB_LF_ZMUL)
+    valx = x * np.float32(consts.XYB_LF_XMUL)
+    valy = interpolate(consts.LF_COLOR_DIFF_DY,
+                       y * np.float32(consts.XYB_LF_YMUL))
+    return valx, valy, valz
+
+
+def xyb_diff_low_freq_squared(x, y, z):
+    """XybDiffLowFreqSquaredAccumulate against (0,0,0), factor 1."""
+    vx, vy, vz = xyb_low_freq_to_vals(x, y, z)
+    return vx * vx, vy * vy, vz * vz
+
+
+def fft8x8_squared(blocks):
+    """|2-D DFT|^2 of real [..., 8, 8] blocks, flattened [xfreq*8 + yfreq].
+
+    Matches ButteraugliFFTSquared (butteraugli.cc:574-597) including its
+    output layout (frequency along image x is the slow axis) and the global
+    0.000064 scale.
+    """
+    wr = jnp.asarray(DFT8_RE)
+    wi = jnp.asarray(DFT8_IM)
+    a = jnp.swapaxes(blocks, -1, -2)  # [..., x, y]
+    t1r = jnp.einsum('ux,...xy->...uy', wr, a, precision=_HI)
+    t1i = jnp.einsum('ux,...xy->...uy', wi, a, precision=_HI)
+    gr = jnp.einsum('...uy,vy->...uv', t1r, wr, precision=_HI) - \
+        jnp.einsum('...uy,vy->...uv', t1i, wi, precision=_HI)
+    gi = jnp.einsum('...uy,vy->...uv', t1r, wi, precision=_HI) + \
+        jnp.einsum('...uy,vy->...uv', t1i, wr, precision=_HI)
+    sq = gr * gr + gi * gi
+    return sq.reshape(sq.shape[:-2] + (64,)) * np.float32(
+        consts.FFT_GLOBAL_MUL)
+
+
+def _remove_range_around_zero(v, rng):
+    """butteraugli.cc:317-326."""
+    return jnp.where((v >= -rng) & (v < rng), 0.0,
+                     jnp.where(v < 0, v + rng, v - rng))
+
+
+def block_diff(b0, b1):
+    """Batched ButteraugliBlockDiff (butteraugli.cc:602-684).
+
+    Args:
+      b0, b1: [..., 3, 64] XYB blocks (row-major y*8+x pixels).
+    Returns:
+      (diff_dc, diff_ac, diff_edge_dc): each [..., 3].
+    """
+    csf = jnp.asarray(consts.CSF8X8.astype(np.float32))
+    diff = b0 - b1                       # [..., 3, 64]
+    d2 = diff.reshape(diff.shape[:-1] + (8, 8))
+
+    # DC: mean over the block, per channel.
+    avg = jnp.mean(diff, axis=-1)        # [..., 3]
+    dcx, dcy, dcz = xyb_diff_low_freq_squared(
+        avg[..., 0], avg[..., 1], avg[..., 2])
+    diff_dc = jnp.stack([dcx, dcy, dcz], axis=-1) * csf[0]
+
+    # Edge DC: four edge means (left, top, right, bottom); corners count in
+    # both the horizontal and the vertical edge.
+    edges = jnp.stack([
+        jnp.mean(d2[..., :, 0], axis=-1),   # v_edge x==0
+        jnp.mean(d2[..., 0, :], axis=-1),   # h_edge y==0
+        jnp.mean(d2[..., :, 7], axis=-1),   # v_edge x==7
+        jnp.mean(d2[..., 7, :], axis=-1),   # h_edge y==7
+    ], axis=-1)                              # [..., 3, 4]
+    ex, ey, ez = xyb_diff_low_freq_squared(
+        edges[..., 0, :], edges[..., 1, :], edges[..., 2, :])
+    diff_edge = jnp.stack([ex.sum(-1), ey.sum(-1), ez.sum(-1)],
+                          axis=-1) * csf[0]
+
+    # AC part via FFTs of (avg y, halfdiff x/y/z).
+    bavg = (b0 + b1) * 0.5
+    bhd = (b0 - b1) * 0.5
+    y_avg = fft8x8_squared(bavg[..., 1, :].reshape(bavg.shape[:-2] + (8, 8)))
+    x_hd = fft8x8_squared(bhd[..., 0, :].reshape(bhd.shape[:-2] + (8, 8)))
+    y_hd = fft8x8_squared(bhd[..., 1, :].reshape(bhd.shape[:-2] + (8, 8)))
+    z_hd = fft8x8_squared(bhd[..., 2, :].reshape(bhd.shape[:-2] + (8, 8)))
+
+    sel = slice(4, 37)
+    d = csf[sel]
+    ac_x = jnp.sum(d * x_hd[..., sel], axis=-1) * np.float32(
+        consts.BLOCKDIFF_AC_XMUL)
+    ac_z = jnp.sum(d * z_hd[..., sel], axis=-1) * np.float32(
+        consts.BLOCKDIFF_AC_ZMUL)
+
+    ya = jnp.sqrt(y_avg[..., sel])
+    yh = jnp.sqrt(y_hd[..., sel])
+    y0 = _remove_range_around_zero(ya - yh,
+                                   np.float32(consts.BLOCKDIFF_Y_LIMIT))
+    y1 = _remove_range_around_zero(ya + yh,
+                                   np.float32(consts.BLOCKDIFF_Y_LIMIT))
+    ymul2 = np.float32(consts.BLOCKDIFF_AC_YMUL2)
+    valy0 = interpolate(consts.HF_COLOR_DIFF_DY, y0 * ymul2)
+    valy1 = interpolate(consts.HF_COLOR_DIFF_DY, y1 * ymul2)
+    valy = np.float32(consts.BLOCKDIFF_AC_YMUL) * (valy0 - valy1)
+    ac_y = jnp.sum(d * valy * valy, axis=-1)
+
+    diff_ac = jnp.stack([ac_x, ac_y, ac_z], axis=-1)
+    return diff_dc, diff_ac, diff_edge

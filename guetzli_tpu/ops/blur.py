@@ -1,0 +1,127 @@
+"""Gaussian blur with Guetzli/butteraugli semantics, as XLA convolutions.
+
+Reproduces the reference blur (butteraugli.cc:68-148) including its two
+quirks, which materially affect output parity:
+
+  * border reweighting: each output position is divided by the sum of the
+    kernel taps that actually overlapped the image, linearly mixed with the
+    full-kernel weight by ``border_ratio``;
+  * step subsampling: for sigma >= 3 the convolution is evaluated only at
+    every ``int(sigma/3)``-th position in both dimensions and the result is
+    nearest-neighbor upsampled back.
+
+All convolutions are expressed as ``lax.conv_general_dilated`` so XLA can
+fuse and tile them for the VPU/MXU; there is no Python-level looping.
+"""
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+@lru_cache(maxsize=None)
+def gauss_taps(sigma: float):
+    """Kernel taps as float32 (reference stores the kernel as float)."""
+    m = 2.25
+    diff = max(1, int(m * abs(sigma)))
+    scaler = -1.0 / (2.0 * sigma * sigma)
+    i = np.arange(-diff, diff + 1, dtype=np.float64)
+    taps = np.exp(scaler * i * i).astype(np.float32)
+    return taps, diff
+
+
+def _conv1d_strided(x, taps, offset, step):
+    """Correlate rows of ``x`` [R, C] with ``taps`` at positions 0, step, ...
+
+    Out-of-image taps contribute zero (handled by zero padding); returns
+    [R, ceil(C / step)].
+    """
+    k = taps.shape[0]
+    lhs = x[:, None, :]                      # [R, 1, C]
+    rhs = taps[None, None, :]                # [O=1, I=1, K]
+    out = lax.conv_general_dilated(
+        lhs, rhs,
+        window_strides=(step,),
+        padding=[(offset, k - 1 - offset)],
+        dimension_numbers=('NCH', 'OIH', 'NCH'),
+        precision=lax.Precision.HIGHEST,
+    )
+    return out[:, 0, :]
+
+
+@lru_cache(maxsize=None)
+def _border_weights(size: int, taps_key, offset: int, step: int,
+                    border_ratio: float):
+    """Per-output-position normalization (butteraugli.cc:76-89)."""
+    taps = np.asarray(taps_key, dtype=np.float64)
+    full = taps[:2 * offset + 1].sum()
+    n_out = -(-size // step)
+    w = np.zeros(n_out, dtype=np.float64)
+    for ox in range(n_out):
+        x = ox * step
+        lo = max(0, x - offset)
+        hi = min(size, x + len(taps) - offset) - 1
+        w[ox] = taps[lo - x + offset:hi - x + offset + 1].sum()
+    w = (1.0 - border_ratio) * w + border_ratio * full
+    return (1.0 / w).astype(np.float32)
+
+
+def blur(channel, sigma: float, border_ratio: float = 0.0):
+    """Blur a single-channel image [H, W]; see module docstring.
+
+    Mirrors _Blur (butteraugli.cc:100-148): horizontal pass (with stride),
+    vertical pass on the subsampled intermediate, then nearest upsample.
+    """
+    h, w = channel.shape
+    taps, offset = gauss_taps(sigma)
+    step = max(1, int(sigma / 3.0))
+    taps_key = tuple(taps.tolist())
+    jt = jnp.asarray(taps)
+
+    scale_x = jnp.asarray(
+        _border_weights(w, taps_key, offset, step, border_ratio))
+    scale_y = jnp.asarray(
+        _border_weights(h, taps_key, offset, step, border_ratio))
+
+    # Horizontal: [H, W] -> [H, dW], normalized per output column.
+    t = _conv1d_strided(channel, jt, offset, step) * scale_x[None, :]
+    # Vertical over the intermediate: [dW, H] -> [dW, dH].
+    t = _conv1d_strided(t.T, jt, offset, step) * scale_y[None, :]
+    out = t.T  # [dH, dW]
+
+    if step > 1:
+        out = jnp.repeat(jnp.repeat(out, step, axis=0), step, axis=1)
+        out = out[:h, :w]
+    return out
+
+
+def blur_planes(planes, sigma: float, border_ratio: float = 0.0):
+    """Blur each channel of a planar [C, H, W] image."""
+    return jnp.stack([blur(planes[c], sigma, border_ratio)
+                      for c in range(planes.shape[0])])
+
+
+@lru_cache(maxsize=None)
+def blur_matrix(size: int, sigma: float, border_ratio: float = 0.0):
+    """Dense [size, size] matrix B with (B @ v) == blur(v) for step==1.
+
+    Used for small tiles (e.g. the 8x8 per-block opsin blur) where two tiny
+    matmuls on the MXU beat a convolution.
+    """
+    taps, offset = gauss_taps(sigma)
+    taps64 = taps.astype(np.float64)
+    assert max(1, int(sigma / 3.0)) == 1
+    full = taps64.sum()
+    mat = np.zeros((size, size), dtype=np.float64)
+    for x in range(size):
+        lo = max(0, x - offset)
+        hi = min(size, x + len(taps) - offset) - 1
+        for j in range(lo, hi + 1):
+            mat[x, j] = taps64[j - x + offset]
+        wsum = mat[x].sum()
+        wsum = (1.0 - border_ratio) * wsum + border_ratio * full
+        mat[x] /= wsum
+    return mat.astype(np.float32)

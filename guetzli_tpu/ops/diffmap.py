@@ -1,0 +1,340 @@
+"""Full butteraugli diffmap in JAX (butteraugli.cc:985-1567).
+
+Pipeline, mirroring ButteraugliComparator::DiffmapOpsinDynamicsImage:
+
+  MaskHighIntensityChange -> EdgeDetectorMap -> BlockDiffMap ->
+  EdgeDetectorLowFreq -> Mask -> CombineChannels -> CalculateDiffmap
+
+Everything operates on whole planar images with static shapes, so a single
+jit covers the entire metric; the per-step-grid loops of the reference
+become strided slices and batched 8x8 block ops.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from guetzli_tpu import consts
+from guetzli_tpu.ops import blockdiff as bd
+from guetzli_tpu.ops.blur import blur, blur_planes
+
+
+def mask_high_intensity_change(xyb0, xyb1):
+    """butteraugli.cc:791-843. Inputs/outputs [3, H, W]."""
+    ave = (xyb0 + xyb1) * 0.5
+    y = ave[1]
+    h, w = y.shape
+    big = jnp.float32(-1.0)
+
+    def sq_shift(dy, dx):
+        shifted = jnp.roll(jnp.roll(y, -dy, axis=0), -dx, axis=1)
+        d = shifted - y
+        d = d * d
+        valid = jnp.ones((h, w), dtype=bool)
+        if dx == -1:
+            valid = valid.at[:, 0].set(False)
+        if dx == 1:
+            valid = valid.at[:, -1].set(False)
+        if dy == -1:
+            valid = valid.at[0, :].set(False)
+        if dy == 1:
+            valid = valid.at[-1, :].set(False)
+        return jnp.where(valid, d, big)
+
+    sqr_max = jnp.maximum(
+        jnp.maximum(sq_shift(0, -1), sq_shift(0, 1)),
+        jnp.maximum(sq_shift(-1, 0), sq_shift(1, 0)))
+
+    red = consts.MHIC_REDUCTION.astype(np.float32)
+    chroma = np.float32(consts.MHIC_CHROMA_BALANCE)
+    chroma_scale = chroma / (y + chroma)
+    mix = jnp.stack([
+        chroma_scale * np.float32(red[0]) / (sqr_max + np.float32(red[0])),
+        np.float32(red[1]) / (sqr_max + np.float32(red[1])),
+        chroma_scale * np.float32(red[2]) / (sqr_max + np.float32(red[2])),
+    ])
+    out0 = mix * xyb0 + (1.0 - mix) * ave
+    out1 = mix * xyb1 + (1.0 - mix) * ave
+    return out0, out1
+
+
+def _pad_to_res(m, w, h, step):
+    """Zero-pad a step-grid map [ny, nx, ...] to the full res grid
+    [ceil(h/step), ceil(w/step), ...] (the reference stores every map in a
+    res_xsize * res_ysize flat array; trailing entries stay zero)."""
+    ry = -(-h // step)
+    rx = -(-w // step)
+    pads = [(0, ry - m.shape[0]), (0, rx - m.shape[1])]
+    pads += [(0, 0)] * (m.ndim - 2)
+    return jnp.pad(m, pads)
+
+
+def _res_positions(size, step, margin):
+    """Step-grid positions res (0, step, ...) with res + margin < size."""
+    n = (size - margin - 1) // step + 1 if size > margin else 0
+    return np.arange(n, dtype=np.int32) * step
+
+
+def edge_detector_map(xyb0, xyb1, step=3):
+    """butteraugli.cc:689-738, 1119-1149 -> [ny, nx, 3] on the step grid."""
+    _, h, w = xyb0.shape
+    blurred0 = jnp.stack([blur(xyb0[c], s, 0.0)
+                          for c, s in enumerate(consts.EDGE_DETECTOR_SIGMAS)])
+    blurred1 = jnp.stack([blur(xyb1[c], s, 0.0)
+                          for c, s in enumerate(consts.EDGE_DETECTOR_SIGMAS)])
+
+    wgt = np.float32(consts.EDGE_DETECTOR_W)
+
+    # Per-pixel horizontal / vertical 3-step central differences of both
+    # images, mapped through the low-freq distance; plus validity masks.
+    def dir_diff(b, axis):
+        fwd = jnp.roll(b, -3, axis=axis)
+        back = jnp.roll(b, 3, axis=axis)
+        return wgt * (back - fwd)          # w * (b[p-3] - b[p+3])
+
+    dh0 = dir_diff(blurred0, 2)
+    dh1 = dir_diff(blurred1, 2)
+    dv0 = dir_diff(blurred0, 1)
+    dv1 = dir_diff(blurred1, 1)
+
+    def lf_sq(d0, d1):
+        vx0, vy0, vz0 = bd.xyb_low_freq_to_vals(d0[0], d0[1], d0[2])
+        vx1, vy1, vz1 = bd.xyb_low_freq_to_vals(d1[0], d1[1], d1[2])
+        return jnp.stack([(vx0 - vx1) ** 2, (vy0 - vy1) ** 2,
+                          (vz0 - vz1) ** 2])   # [3, H, W]
+
+    hmap = lf_sq(dh0, dh1)
+    vmap = lf_sq(dv0, dv1)
+
+    xs = jnp.arange(w)
+    ys = jnp.arange(h)
+    h_valid = ((xs >= 3) & (xs + 3 < w))[None, :] & jnp.ones(
+        (h, 1), dtype=bool)
+    v_valid = ((ys >= 3) & (ys + 3 < h))[:, None] & jnp.ones(
+        (1, w), dtype=bool)
+
+    rx = _res_positions(w, step, 8 - step)
+    ry = _res_positions(h, step, 8 - step)
+    px = np.minimum(rx, w - 8)
+    py = np.minimum(ry, h - 8)
+
+    acc = jnp.zeros((3, len(py), len(px)))
+    cnt = jnp.zeros((len(py), len(px)))
+    for oy, ox in ((0, 0), (7, 0), (0, 7), (7, 7)):
+        gy = py + oy
+        gx = px + ox
+        hm = hmap[:, gy][:, :, gx]
+        vm = vmap[:, gy][:, :, gx]
+        hv = h_valid[gy][:, gx]
+        vv = v_valid[gy][:, gx]
+        acc = acc + jnp.where(hv, hm, 0.0) + jnp.where(vv, vm, 0.0)
+        cnt = cnt + hv.astype(acc.dtype) + vv.astype(acc.dtype)
+
+    mul = np.float32(consts.EDGE_DETECTOR_WEIGHT) * 8.0 / cnt
+    out = jnp.moveaxis(acc * mul[None], 0, -1)     # [ny, nx, 3]
+    return _pad_to_res(out, w, h, step)
+
+
+def block_diff_map(xyb0, xyb1, step=3):
+    """butteraugli.cc:1081-1117 -> (dc, ac) maps [ny, nx, 3]."""
+    _, h, w = xyb0.shape
+    rx = _res_positions(w, step, 8 - step - 1)
+    ry = _res_positions(h, step, 8 - step - 1)
+    px = np.minimum(rx, w - 8)
+    py = np.minimum(ry, h - 8)
+
+    yy = (py[:, None, None, None]
+          + np.arange(8, dtype=np.int32)[None, None, :, None])
+    xx = (px[None, :, None, None]
+          + np.arange(8, dtype=np.int32)[None, None, None, :])
+    yy, xx = np.broadcast_arrays(yy, xx)
+
+    def windows(img):
+        # [3, H, W] -> [ny, nx, 3, 8, 8]
+        return jnp.moveaxis(img[:, yy, xx], 0, 2)
+
+    w0 = windows(xyb0).reshape(len(py), len(px), 3, 64)
+    w1 = windows(xyb1).reshape(len(py), len(px), 3, 64)
+    dc, ac, _edge = bd.block_diff(w0, w1)
+    return _pad_to_res(dc, w, h, step), _pad_to_res(ac, w, h, step)
+
+
+def edge_detector_low_freq(xyb0, xyb1, ac_map, step=3):
+    """butteraugli.cc:1151-1205; adds into ac_map at x-offset 8//step."""
+    _, h, w = xyb0.shape
+    blurred0 = blur_planes(xyb0, consts.EDGE_LF_SIGMA, 0.0)
+    blurred1 = blur_planes(xyb1, consts.EDGE_LF_SIGMA, 0.0)
+    e = blurred1 - blurred0    # [3, H, W]
+
+    ys = _res_positions(h, step, 8)  # loop condition: y + 8 < h
+    xs = _res_positions(w, step, 8)
+    if len(ys) == 0 or len(xs) == 0:
+        return ac_map
+
+    def shifted(dy, dx):
+        return e[:, ys[:, None] + dy, xs[None, :] + dx]
+
+    base = shifted(0, 0)
+    diffs = [
+        base - shifted(0, 8),
+        base - shifted(8, 0),
+        base - shifted(6, 6),
+    ]
+    # Direction 3 reaches x-6; zero when x < 8 (x==0..5 impossible on the
+    # step grid except x==0,3,6; the guard in the reference is x < step=8).
+    dx4 = jnp.where(jnp.asarray(xs < 8)[None, None, :],
+                    jnp.zeros_like(base),
+                    base - e[:, ys[:, None] + 6,
+                             np.maximum(xs - 6, 0)[None, :]])
+    diffs.append(dx4)
+
+    per_k = []
+    for d in diffs:
+        sx, sy, sz = bd.xyb_diff_low_freq_squared(d[0], d[1], d[2])
+        per_k.append(jnp.stack([sx, sy, sz]))     # [3, ny, nx]
+    md = jnp.maximum(jnp.maximum(per_k[0], per_k[1]),
+                     jnp.maximum(per_k[2], per_k[3]))
+    add = jnp.moveaxis(md, 0, -1) * np.float32(consts.EDGE_LF_MUL)
+
+    off = 8 // step
+    pad_y = ac_map.shape[0] - add.shape[0]
+    pad_x = ac_map.shape[1] - add.shape[1] - off
+    add_full = jnp.pad(add, ((0, pad_y), (off, pad_x), (0, 0)))
+    return ac_map + add_full
+
+
+def diff_precompute(xyb0, xyb1):
+    """butteraugli.cc:1440-1493 -> [3, H, W]."""
+    def vals(d):
+        # d: [3, H, W] neighbor difference
+        vx = bd.interpolate(consts.HF_COLOR_DIFF_DX,
+                            d[0] * np.float32(consts.XYB_HF_XMUL))
+        vy = bd.interpolate(consts.HF_COLOR_DIFF_DY,
+                            d[1] * np.float32(consts.XYB_HF_YMUL))
+        vz = d[2] * np.float32(consts.XYB_HF_ZMUL)
+        return jnp.stack([vx, vy, vz])
+
+    def sup(img):
+        # horizontal: ix2 = x+1, or x-1 at the right border
+        right = jnp.concatenate(
+            [img[:, :, 1:], img[:, :, -2:-1]], axis=2)
+        down = jnp.concatenate(
+            [img[:, 1:, :], img[:, -2:-1, :]], axis=1)
+        vh = vals(img - right)
+        vv = vals(img - down)
+        return jnp.abs(vh) + jnp.abs(vv)
+
+    return jnp.minimum(sup(xyb0), sup(xyb1))
+
+
+def average5x5(img):
+    """3x3 cross+diagonal average (butteraugli.cc:1379-1438), zero-padded."""
+    h, w = img.shape[-2:]
+    if h < 4 or w < 4:
+        return img
+    wgt = np.float32(consts.AVERAGE5X5_DIAG_W)
+    kernel = jnp.asarray(np.array([[wgt, 1, wgt], [1, 1, 1], [wgt, 1, wgt]],
+                                  dtype=np.float32))
+    scale = np.float32(1.0 / (5.0 + 4 * wgt))
+    x = img.reshape((-1, 1) + img.shape[-2:])
+    out = jax.lax.conv_general_dilated(
+        x, kernel[None, None], (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+        precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(img.shape) * scale
+
+
+def min_square_val(img, square=4, offset=0):
+    """Sliding-window min (butteraugli.cc:1332-1376)."""
+    pads = [(0, 0)] * (img.ndim - 2) + [(offset, square - offset - 1)] * 2
+    return jax.lax.reduce_window(
+        img, jnp.inf, jax.lax.min,
+        window_dimensions=(1,) * (img.ndim - 2) + (square, square),
+        window_strides=(1,) * img.ndim,
+        padding=pads)
+
+
+def mask(xyb0, xyb1):
+    """butteraugli.cc:1495-1567 -> (mask, mask_dc) each [3, H, W]."""
+    m = diff_precompute(xyb0, xyb1)
+    chans = []
+    for c in range(3):
+        mc = average5x5(m[c])
+        mc = min_square_val(mc, 4, 0)
+        mc = blur(mc, consts.MASK_SIGMAS[c], 0.0)
+        chans.append(mc)
+    s = jnp.stack(chans)
+    p = s * consts.MASK_W.astype(np.float32)[:, None, None]
+
+    g2 = np.float32(consts.K_GLOBAL_SCALE * consts.K_GLOBAL_SCALE)
+    mask_out = jnp.stack([
+        bd.interpolate_clamp_negative(consts.MASK_LUTS['x'], p[0]),
+        bd.interpolate_clamp_negative(consts.MASK_LUTS['y'], p[1]),
+        bd.interpolate_clamp_negative(consts.MASK_LUTS['b'], p[2]),
+    ]) * g2
+    mask_dc = jnp.stack([
+        bd.interpolate_clamp_negative(consts.MASK_LUTS['dc_x'], p[0]),
+        bd.interpolate_clamp_negative(consts.MASK_LUTS['dc_y'], p[1]),
+        bd.interpolate_clamp_negative(consts.MASK_LUTS['dc_b'], p[2]),
+    ]) * g2
+    return mask_out, mask_dc
+
+
+def combine_channels(mask_xyb, mask_dc, dc_map, ac_map, edge_map, h, w,
+                     step=3):
+    """butteraugli.cc:1207-1231 -> res-grid diffmap [ny, nx]."""
+    ry = _res_positions(h, step, 8 - step)
+    rx = _res_positions(w, step, 8 - step)
+    msel = mask_xyb[:, ry[:, None] + 3, rx[None, :] + 3]
+    dsel = mask_dc[:, ry[:, None] + 3, rx[None, :] + 3]
+    ny, nx = len(ry), len(rx)
+    dc = dc_map[:ny, :nx]
+    ac = ac_map[:ny, :nx]
+    em = edge_map[:ny, :nx]
+    hi = jax.lax.Precision.HIGHEST
+    res = (jnp.einsum('yxc,cyx->yx', dc, dsel, precision=hi)
+           + jnp.einsum('yxc,cyx->yx', ac, msel, precision=hi)
+           + jnp.einsum('yxc,cyx->yx', em, msel, precision=hi))
+    return res
+
+
+def calculate_diffmap(res_map, h, w, step=3):
+    """Upsample-sqrt + clustered blur (butteraugli.cc:985-1044) -> [H, W]."""
+    s2 = (8 - step) // 2
+    slope = np.float32(consts.DIFFMAP_INITIAL_SLOPE)
+    val = jnp.where(res_map < 1.0 / (slope * slope),
+                    slope * res_map, jnp.sqrt(res_map))
+    up = jnp.repeat(jnp.repeat(val, step, axis=0), step, axis=1)
+    ny, nx = res_map.shape
+    dm = jnp.zeros((h, w), dtype=res_map.dtype)
+    dm = dm.at[s2:s2 + ny * step, s2:s2 + nx * step].set(
+        up[:min(ny * step, h - s2), :min(nx * step, w - s2)])
+
+    s = 8 - step
+    inner = dm[s2:s2 + h - s, s2:s2 + w - s]
+    blurred = blur(inner, consts.DIFFMAP_SIGMA, consts.DIFFMAP_BORDER_RATIO)
+    dm = dm.at[s2:s2 + h - s, s2:s2 + w - s].add(
+        np.float32(consts.DIFFMAP_MUL1) * blurred)
+    return dm * np.float32(1.0 / (1.0 + consts.DIFFMAP_MUL1))
+
+
+def diffmap_opsin_dynamics(xyb0, xyb1, step=3):
+    """Full metric: opsin images in, per-pixel diffmap [H, W] out."""
+    _, h, w = xyb0.shape
+    if h < 8 or w < 8:
+        return jnp.zeros((h, w), dtype=xyb0.dtype)
+    xyb0m, xyb1m = mask_high_intensity_change(xyb0, xyb1)
+    edge_map = edge_detector_map(xyb0m, xyb1m, step)
+    dc_map, ac_map = block_diff_map(xyb0m, xyb1m, step)
+    ac_map = edge_detector_low_freq(xyb0m, xyb1m, ac_map, step)
+    mask_xyb, mask_dc = mask(xyb0m, xyb1m)
+    res = combine_channels(mask_xyb, mask_dc, dc_map, ac_map, edge_map,
+                           h, w, step)
+    return calculate_diffmap(res, h, w, step)
+
+
+def score_from_diffmap(dm):
+    """butteraugli.cc:1233-1239."""
+    return jnp.max(dm)
