@@ -1,0 +1,107 @@
+"""Device-resident image state ops: integer IDCT, pixel cache, color.
+
+Reference semantics reproduced exactly in int32 (guetzli/idct.cc,
+guetzli/output_image.cc, guetzli/color_transform.h):
+
+  * 13-bit fixed-point 8x8 IDCT with libjpeg-compatible rounding;
+  * the x16-scaled uint16 pixel cache with parity-dithered rounding
+    ``(p + 8 - (x & 1)) >> 4``;
+  * integer YCbCr->RGB via the fixed-point tables (evaluated arithmetically
+    — verified identical to the reference LUTs in tests).
+
+Everything is batched over blocks; the whole-image path reconstructs all
+pixels from coefficients in one shot instead of the reference's incremental
+per-block cache updates.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from guetzli_tpu import consts
+
+_IDCT = consts.IDCT_MATRIX  # [x, u] int32
+
+
+def idct_blocks(coeffs):
+    """Integer IDCT: [..., 64] int32 -> [..., 64] uint8-range int32.
+
+    Matches ComputeBlockIDCT (idct.cc:139-161): column pass with >>11
+    rounding, row pass with (+128 offset) >>18 rounding, clamped to [0,255].
+    """
+    m = jnp.asarray(_IDCT, dtype=jnp.int32)
+    b = coeffs.reshape(coeffs.shape[:-1] + (8, 8)).astype(jnp.int32)
+    # Column pass: tmp[y, x] = sum_u M[y, u] * in[u, x].
+    col = jnp.einsum('yu,...ux->...yx', m, b,
+                     preferred_element_type=jnp.int32)
+    col = (col + (1 << 10)) >> 11
+    # Row pass: out[y, x] = sum_u M[x, u] * tmp[y, u].
+    row = jnp.einsum('xu,...yu->...yx', m, col,
+                     preferred_element_type=jnp.int32)
+    row = (row + (257 << 17)) >> 18
+    out = jnp.clip(row, 0, 255)
+    return out.reshape(coeffs.shape)
+
+
+def blocks_to_plane(blocks, bw, bh, w, h):
+    """[..., bh*bw, 64] -> [..., h, w] pixel plane (crop to image size)."""
+    lead = blocks.shape[:-2]
+    img = blocks.reshape(lead + (bh, bw, 8, 8))
+    img = jnp.swapaxes(img, -3, -2).reshape(lead + (bh * 8, bw * 8))
+    return img[..., :h, :w]
+
+
+def pixels_to_srgb(yuv_planes, w):
+    """Rounded pixel cache -> interleaved YCbCr bytes -> RGB (int).
+
+    ``yuv_planes``: [3, H, W] int32 pixel values scaled x16 (the pixel
+    cache). Applies ToPixels' parity dither (output_image.cc:83) and the
+    integer YCbCr->RGB transform. Returns [3, H, W] int32 in 0..255.
+    """
+    x = jnp.arange(yuv_planes.shape[-1], dtype=jnp.int32)
+    dither = 8 - (x & 1)
+    px = (yuv_planes + dither[None, None, :]) >> 4
+    return ycbcr_to_rgb(px[0], px[1], px[2])
+
+
+def ycbcr_to_rgb(y, cb, cr):
+    """color_transform.h:1038-1046, arithmetic form of the tables."""
+    cr_off = cr - 128
+    cb_off = cb - 128
+    r = y + ((91881 * cr_off + 32768) >> 16)
+    b = y + ((116130 * cb_off + 32768) >> 16)
+    g = y + (((-46802) * cr_off + (-22554) * cb_off + 32768) >> 16)
+    out = jnp.stack([r, g, b])
+    return jnp.clip(out, 0, 255)
+
+
+def srgb_to_linear(rgb_int):
+    """uint8-range ints -> linear float via the 256-entry LUT."""
+    lut = jnp.asarray(consts.SRGB_TO_LINEAR.astype(np.float32))
+    return lut[rgb_int]
+
+
+def coeffs_to_linear_rgb(coeffs, bw, bh, w, h):
+    """[3, NB, 64] int32 dequantized coefficients -> [3, H, W] linear RGB.
+
+    The full OutputImage::ToLinearRGB path for a YUV444 image: integer IDCT,
+    pixel cache semantics, YCbCr->RGB, sRGB->linear.
+    """
+    pix = idct_blocks(coeffs) << 4        # pixel cache is scaled x16
+    planes = blocks_to_plane(pix, bw, bh, w, h)
+    rgb = pixels_to_srgb(planes, w)
+    return srgb_to_linear(rgb)
+
+
+def quantize_coeffs(coeffs, quant):
+    """Round to nearest multiple of quant (quantize.h:548-553).
+
+    coeffs: [..., 64] int32; quant broadcastable int32.
+    """
+    c = coeffs.astype(jnp.int32)
+    q = quant.astype(jnp.int32)
+    # C's % truncates toward zero.
+    r = jnp.sign(c) * (jnp.abs(c) % q)
+    delta = jnp.where(2 * r > q, q - r,
+                      jnp.where(-2 * r > q, -q - r, -r))
+    return c + delta
