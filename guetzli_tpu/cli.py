@@ -1,0 +1,118 @@
+"""guetzli-tpu command line, flag-compatible with the reference CLI
+(guetzli/guetzli.cc:221-366).
+
+The backend-selection flags (--c / --opencl / --cuda / --checkcl /
+--checkcuda) are accepted for drop-in compatibility but are no-ops: all
+compute paths run on the XLA default backend (TPU when present). --checkcl's
+role -- kernel-vs-reference verification -- is covered by the test suite's
+stage parity tests instead.
+"""
+
+import sys
+
+from guetzli_tpu import consts
+
+_USAGE = """Guetzli-TPU JPEG compressor. Usage:
+guetzli-tpu [flags] input_filename output_filename
+
+Flags:
+  --verbose    - Print a verbose trace of all attempts to standard output.
+  --quality Q  - Visual quality to aim for, expressed as a JPEG quality value.
+                 Default value is 95.
+  --memlimit M - Memory limit in MB. Guetzli will fail if unable to stay under
+                 the limit. Default limit is 6000 MB.
+  --nomemlimit - Do not limit memory usage.
+"""
+
+K_BYTES_PER_PIXEL = 110          # guetzli.cc:42
+K_LOWEST_MEMUSAGE_MB = 100       # guetzli.cc:43
+K_DEFAULT_MEMLIMIT_MB = 6000     # guetzli.cc:45
+K_DEFAULT_QUALITY = 95
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    verbose = False
+    quality = K_DEFAULT_QUALITY
+    memlimit_mb = K_DEFAULT_MEMLIMIT_MB
+    opt_idx = 0
+    while opt_idx < len(argv) and argv[opt_idx].startswith("-") \
+            and argv[opt_idx] != "-":
+        flag = argv[opt_idx]
+        if flag == "--verbose":
+            verbose = True
+        elif flag == "--quality":
+            opt_idx += 1
+            quality = int(argv[opt_idx])
+        elif flag == "--memlimit":
+            opt_idx += 1
+            memlimit_mb = int(argv[opt_idx])
+        elif flag == "--nomemlimit":
+            memlimit_mb = -1
+        elif flag in ("--c", "--opencl", "--cuda", "--checkcl",
+                      "--checkcuda"):
+            pass  # backend modes: everything runs on the XLA backend
+        else:
+            sys.stderr.write(_USAGE)
+            return 1
+        opt_idx += 1
+    if len(argv) - opt_idx != 2:
+        sys.stderr.write(_USAGE)
+        return 1
+
+    in_name, out_name = argv[opt_idx], argv[opt_idx + 1]
+    if in_name == "-":
+        data = sys.stdin.buffer.read()
+    else:
+        with open(in_name, "rb") as f:
+            data = f.read()
+
+    from guetzli_tpu.search.processor import Params, ProcessStats
+
+    params = Params()
+    params.butteraugli_target = consts.butteraugli_score_for_quality(quality)
+    stats = ProcessStats(debug=verbose)
+
+    if data[:2] == b"\xff\xd8":
+        try:
+            from guetzli_tpu.search.processor import process_jpeg_bytes
+        except ImportError:
+            sys.stderr.write("JPEG input support not available\n")
+            return 1
+        out = process_jpeg_bytes(params, data, stats)
+        if out is None:
+            return 1
+    else:
+        from guetzli_tpu.io.png import read_png
+        try:
+            rgb, w, h = read_png(data)
+        except Exception:
+            sys.stderr.write("Can't decode input image\n")
+            return 1
+        if not _check_memory(w * h, memlimit_mb):
+            return 1
+        from guetzli_tpu.search.processor import process_rgb
+        out = process_rgb(params, rgb, w, h, stats)
+
+    if out_name == "-":
+        sys.stdout.buffer.write(out)
+    else:
+        with open(out_name, "wb") as f:
+            f.write(out)
+    return 0
+
+
+def _check_memory(pixels, memlimit_mb) -> bool:
+    """guetzli.cc:333-356 memory guard."""
+    if memlimit_mb == -1:
+        return True
+    estimate_mb = max(K_LOWEST_MEMUSAGE_MB,
+                      pixels * K_BYTES_PER_PIXEL // (1 << 20))
+    if memlimit_mb < estimate_mb or memlimit_mb < K_LOWEST_MEMUSAGE_MB:
+        sys.stderr.write("Memory limit would be exceeded. Failing.\n")
+        return False
+    return True
+
+
+if __name__ == "__main__":
+    sys.exit(main())

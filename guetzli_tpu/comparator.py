@@ -1,0 +1,195 @@
+"""Butteraugli comparator: the metric-side driver of the search.
+
+Functional TPU redesign of guetzli/butteraugli_comparator.{h,cc}: instead of
+an OO hierarchy with per-call host<->device copies, a `Comparator` instance
+precomputes the original image's opsin once, keeps it device-resident, and
+exposes three jitted entry points:
+
+  * compare(coeffs)           -- full diffmap + max score
+                                 (ButteraugliComparator::Compare, :60-70)
+  * block state precompute    -- whole-image mask + per-block opsin tiles and
+                                 mask scales (StartBlockComparisons :72-79 +
+                                 SwitchBlock :85-111, hoisted out of the loop)
+  * compare_block_batch(...)  -- CompareBlock (:113-163) over all blocks at
+                                 once
+
+Each jit is compiled once per image geometry and reused for every search
+iteration.
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from guetzli_tpu import consts
+from guetzli_tpu.ops import diffmap as dm
+from guetzli_tpu.ops import image as img_ops
+from guetzli_tpu.ops import tiles as tile_ops
+from guetzli_tpu.ops.opsin import opsin_dynamics_image
+
+
+def score_jpeg(distance, size, target):
+    """ScoreJPEG (score.cc:23-41)."""
+    k_scale = 50.0
+    k_max_exponent = 10.0
+    k_large = 1e30
+    diff = distance - target
+    if diff <= 0.0:
+        return float(size)
+    exponent = k_scale * diff
+    if exponent > k_max_exponent:
+        return k_large * math.exp(k_max_exponent) * diff + size
+    return math.exp(exponent) * size
+
+
+@partial(jax.jit, static_argnames=("bw", "bh", "w", "h"))
+def _full_compare(coeffs, xyb0, bw, bh, w, h):
+    lin = img_ops.coeffs_to_linear_rgb(coeffs, bw, bh, w, h)
+    xyb1 = opsin_dynamics_image(lin)
+    dmap = dm.diffmap_opsin_dynamics(xyb0, xyb1)
+    return dm.score_from_diffmap(dmap), dmap
+
+
+@jax.jit
+def _whole_image_mask(xyb0):
+    mask_xyz, _ = dm.mask(xyb0, xyb0)
+    return mask_xyz
+
+
+@jax.jit
+def _compare_block_batch(cand_coeffs, xyb0_tiles, scale, ysel, xsel):
+    lin = tile_ops.tiles_to_linear_rgb(cand_coeffs, xsel, ysel)
+    return tile_ops.compare_blocks(xyb0_tiles, lin, scale)
+
+
+class Comparator:
+    """Per-image butteraugli comparator with device-resident state."""
+
+    def __init__(self, rgb, width, height, target_distance):
+        self.width = width
+        self.height = height
+        self.target_distance = float(target_distance)
+        self.rgb_orig = np.asarray(rgb, dtype=np.uint8).reshape(
+            height, width, 3)
+        lut = consts.SRGB_TO_LINEAR.astype(np.float32)
+        lin0 = lut[self.rgb_orig].transpose(2, 0, 1)        # [3, H, W]
+        self.xyb0 = jax.device_put(opsin_dynamics_image(jnp.asarray(lin0)))
+        self.distance = 0.0
+        self.distmap = None
+        # Block-comparison state (built lazily by start_block_comparisons).
+        self._mask_xyz = None
+        self._block_state = {}
+
+    # -- full-image comparison ------------------------------------------
+
+    def compare(self, coeffs, bw, bh):
+        """coeffs: [3, bh*bw, 64] int32 dequantized YCbCr coefficients."""
+        score, dmap = _full_compare(jnp.asarray(coeffs), self.xyb0,
+                                    bw=bw, bh=bh, w=self.width, h=self.height)
+        self.distance = float(score)
+        self.distmap = dmap
+        return self.distance
+
+    def distance_ok(self, target_mul):
+        return self.distance <= target_mul * self.target_distance
+
+    def score_output_size(self, size):
+        return score_jpeg(self.distance, size, self.target_distance)
+
+    def block_error_limit(self):
+        return self.target_distance
+
+    # -- per-block comparison state -------------------------------------
+
+    def start_block_comparisons(self):
+        self._mask_xyz = _whole_image_mask(self.xyb0)
+
+    def finish_block_comparisons(self):
+        self._mask_xyz = None
+        self._block_state = {}
+
+    def block_state(self, factor_x, factor_y):
+        """(xyb0_tiles, scales, ysel, xsel) for the sub-block grid.
+
+        The grid enumerates the 8x8 *pixel* blocks of the full-resolution
+        image (block_x in [0, ceil(w/8)), row-major), i.e. the blocks that
+        CompareBlock evaluates; for factor 2 each coefficient macroblock
+        covers 2x2 of these.
+        """
+        key = (factor_x, factor_y)
+        if key not in self._block_state:
+            assert self._mask_xyz is not None, "start_block_comparisons first"
+            w, h = self.width, self.height
+            bw = (w + 7) // 8
+            bh = (h + 7) // 8
+            xyb0_tiles = tile_ops.original_opsin_tiles(
+                self.rgb_orig, w, h, bw, bh)
+            bx = np.tile(np.arange(bw), bh)
+            by = np.repeat(np.arange(bh), bw)
+            mask = np.asarray(self._mask_xyz)
+            scales = mask[:, 8 * by, 8 * bx].T.astype(np.float32)  # [NB, 3]
+            ysel, xsel = tile_ops.edge_gather_indices(bw, bh, w, h)
+            self._block_state[key] = (
+                jax.device_put(xyb0_tiles),
+                jax.device_put(jnp.asarray(scales)),
+                jax.device_put(jnp.asarray(ysel)),
+                jax.device_put(jnp.asarray(xsel)),
+            )
+        return self._block_state[key]
+
+    def compare_block_batch(self, cand_coeffs, factor_x=1, factor_y=1):
+        """Errors [NB] for candidate coefficient tiles [NB, 3, 64] (int32,
+        dequantized), NB = ceil(h/8)*ceil(w/8) in row-major order."""
+        xyb0_tiles, scales, ysel, xsel = self.block_state(factor_x, factor_y)
+        return _compare_block_batch(cand_coeffs, xyb0_tiles, scales,
+                                    ysel, xsel)
+
+    # -- block error adjustment weights ---------------------------------
+
+    def compute_block_error_adjustment_weights(
+            self, direction, max_block_dist, target_mul, factor_x, factor_y,
+            distmap):
+        """butteraugli_comparator.cc:169-233, vectorized in numpy."""
+        target = self.target_distance * target_mul
+        w, h = self.width, self.height
+        sizex, sizey = 8 * factor_x, 8 * factor_y
+        bw = (w + sizex - 1) // sizex
+        bh = (h + sizey - 1) // sizey
+        d = np.asarray(distmap, dtype=np.float32).reshape(h, w)
+        pad = np.zeros((bh * sizey, bw * sizex), dtype=np.float32)
+        pad[:h, :w] = d
+        max_dist = pad.reshape(bh, sizey, bw, sizex).max(axis=(1, 3))
+
+        r = max_block_dist
+        local = max_dist
+        for _ in range(r):
+            p = np.pad(local, 1, mode='edge')
+            local = np.maximum.reduce([
+                p[0:-2, 0:-2], p[0:-2, 1:-1], p[0:-2, 2:],
+                p[1:-1, 0:-2], p[1:-1, 1:-1], p[1:-1, 2:],
+                p[2:, 0:-2], p[2:, 1:-1], p[2:, 2:]])
+        max_local = np.maximum(local, target)
+
+        weight = np.zeros((bh, bw), dtype=np.float32)
+        if direction > 0:
+            ok = (max_dist <= target) & (max_local <= 1.1 * target)
+            weight[ok] = 1.0
+        else:
+            k_local_max_weight = 0.5
+            src = max_dist > ((1 - k_local_max_weight) * target
+                              + k_local_max_weight * max_local)
+            # weight[ix] = 1/(dmin+1), dmin = Chebyshev distance to the
+            # nearest src block within radius r.
+            reach = src.copy()
+            for dist in range(r + 1):
+                contrib = np.float32(1.0 / (dist + 1.0))
+                weight = np.maximum(weight, np.where(reach, contrib, 0.0))
+                if dist < r:
+                    p = np.pad(reach, 1, mode='constant')
+                    reach = (p[0:-2, 0:-2] | p[0:-2, 1:-1] | p[0:-2, 2:]
+                             | p[1:-1, 0:-2] | p[1:-1, 1:-1] | p[1:-1, 2:]
+                             | p[2:, 0:-2] | p[2:, 1:-1] | p[2:, 2:])
+        return weight.reshape(-1)

@@ -1,0 +1,146 @@
+"""Per-8x8-tile comparison pipeline, batched over all DCT blocks.
+
+This is the TPU equivalent of the reference's per-block hot path
+(butteraugli_comparator.cc:113-163 `CompareBlock` and the GPU zeroing
+kernel's on-device reconstruction, clguetzli.cl:3288-3339): candidate
+coefficients -> integer IDCT -> sRGB bytes (with the image-edge replication
+of OutputImageComponent::ToPixels, output_image.cc:68-98) -> linear RGB ->
+8x8 opsin -> MaskHighIntensityChange confined to the tile -> butteraugli
+block diff -> masked scalar error. Everything is batched over a leading
+block axis; there is no per-block control flow.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from guetzli_tpu import consts
+from guetzli_tpu.ops import blockdiff as bd
+from guetzli_tpu.ops import image as img_ops
+from guetzli_tpu.ops.opsin import opsin_dynamics_blocks
+
+_BLOCK_EDGE_W = np.float32(consts.BLOCK_EDGE_WEIGHT)
+
+
+def _tile_border_masks():
+    """Validity masks for the four 1-pixel shifts inside an 8x8 tile."""
+    ones = np.ones((8, 8), dtype=bool)
+    left = ones.copy(); left[:, 0] = False     # neighbor at x-1
+    right = ones.copy(); right[:, -1] = False  # neighbor at x+1
+    up = ones.copy(); up[0, :] = False
+    down = ones.copy(); down[-1, :] = False
+    return left, right, up, down
+
+
+_M_LEFT, _M_RIGHT, _M_UP, _M_DOWN = _tile_border_masks()
+
+
+def mask_high_intensity_change_tiles(t0, t1):
+    """MaskHighIntensityChange on [..., 3, 8, 8] tiles (butteraugli.cc:791).
+
+    The reference calls _MaskHighIntensityChange with xsize=ysize=8 from
+    CompareBlock, so neighbor visibility stops at the tile border.
+    """
+    ave = (t0 + t1) * 0.5
+    y = ave[..., 1, :, :]
+    big = jnp.float32(-1.0)
+
+    def sq_shift(dy, dx, valid):
+        shifted = jnp.roll(jnp.roll(y, -dy, axis=-2), -dx, axis=-1)
+        d = shifted - y
+        return jnp.where(jnp.asarray(valid), d * d, big)
+
+    sqr_max = jnp.maximum(
+        jnp.maximum(sq_shift(0, -1, _M_LEFT), sq_shift(0, 1, _M_RIGHT)),
+        jnp.maximum(sq_shift(-1, 0, _M_UP), sq_shift(1, 0, _M_DOWN)))
+
+    red = consts.MHIC_REDUCTION.astype(np.float32)
+    chroma = np.float32(consts.MHIC_CHROMA_BALANCE)
+    chroma_scale = chroma / (y + chroma)
+    mix = jnp.stack([
+        chroma_scale * np.float32(red[0]) / (sqr_max + np.float32(red[0])),
+        np.float32(red[1]) / (sqr_max + np.float32(red[1])),
+        chroma_scale * np.float32(red[2]) / (sqr_max + np.float32(red[2])),
+    ], axis=-3)
+    out0 = mix * t0 + (1.0 - mix) * ave
+    out1 = mix * t1 + (1.0 - mix) * ave
+    return out0, out1
+
+
+def tiles_to_linear_rgb(coeff_tiles, xsel, ysel):
+    """Dequantized coefficient tiles -> linear RGB tiles.
+
+    Args:
+      coeff_tiles: [..., 3, 64] int32 (dequantized, YCbCr).
+      xsel, ysel:  [..., 8] int32 per-tile pixel gather indices implementing
+        the right/bottom image-edge byte replication of ToPixels
+        (output_image.cc:86-97): identity for interior tiles, clamped to the
+        last in-image column/row for edge tiles.
+    Returns:
+      [..., 3, 8, 8] float32 linear RGB.
+    """
+    v = img_ops.idct_blocks(coeff_tiles)            # [..., 3, 64] in 0..255
+    v = v.reshape(v.shape[:-1] + (8, 8))
+    # For factor-1 components the x16 pixel cache + parity dither round-trips
+    # to the IDCT bytes exactly ((16*v + 8 - (x&1)) >> 4 == v), so the bytes
+    # are the IDCT values; only the edge replication needs modeling.
+    v = jnp.take_along_axis(v, ysel[..., None, :, None], axis=-2)
+    v = jnp.take_along_axis(v, xsel[..., None, None, :], axis=-1)
+    rgb = img_ops.ycbcr_to_rgb(v[..., 0, :, :], v[..., 1, :, :],
+                               v[..., 2, :, :])     # stacks on axis 0
+    rgb = jnp.moveaxis(rgb, 0, -3)                  # [..., 3, 8, 8]
+    return img_ops.srgb_to_linear(rgb)
+
+
+def compare_blocks(xyb0_tiles, cand_lin, scale):
+    """Batched ButteraugliComparator::CompareBlock core.
+
+    Args:
+      xyb0_tiles: [..., 3, 8, 8] opsin tiles of the original image
+        (per-block opsin, clamped-edge sampling -- SwitchBlock semantics).
+      cand_lin:   [..., 3, 8, 8] linear RGB of the candidate reconstruction.
+      scale:      [..., 3] whole-image mask values at the block's top-left
+        pixel (butteraugli_comparator.cc:148-151).
+    Returns:
+      [...] float32 block errors.
+    """
+    xyb1 = opsin_dynamics_blocks(cand_lin)
+    m0, m1 = mask_high_intensity_change_tiles(xyb0_tiles, xyb1)
+    flat0 = m0.reshape(m0.shape[:-2] + (64,))
+    flat1 = m1.reshape(m1.shape[:-2] + (64,))
+    dc, ac, edge = bd.block_diff(flat0, flat1)
+    diff = jnp.sum((dc + ac) * scale, axis=-1)
+    diff_edge = jnp.sum(edge * scale, axis=-1)
+    return jnp.sqrt((1.0 - _BLOCK_EDGE_W) * diff + _BLOCK_EDGE_W * diff_edge)
+
+
+def edge_gather_indices(bw, bh, w, h):
+    """Per-block (ysel, xsel) int32 arrays [bh*bw, 8] for edge replication."""
+    bx = np.tile(np.arange(bw, dtype=np.int32), bh)
+    by = np.repeat(np.arange(bh, dtype=np.int32), bw)
+    ix = np.arange(8, dtype=np.int32)
+    xmax = np.minimum(7, (w - 1) - 8 * bx)
+    ymax = np.minimum(7, (h - 1) - 8 * by)
+    xsel = np.minimum(ix[None, :], xmax[:, None])
+    ysel = np.minimum(ix[None, :], ymax[:, None])
+    return ysel, xsel
+
+
+def original_opsin_tiles(rgb, w, h, bw, bh):
+    """Per-block opsin of the original sRGB image (SwitchBlock,
+    butteraugli_comparator.cc:85-111): pixels sampled with coordinates
+    clamped to the image, then an 8x8-confined opsin transform.
+
+    Args:
+      rgb: uint8 [h, w, 3].
+    Returns:
+      [bh*bw, 3, 8, 8] float32 opsin tiles (numpy in, jax out).
+    """
+    lut = consts.SRGB_TO_LINEAR.astype(np.float32)
+    xs = np.minimum(np.arange(bw * 8), w - 1)
+    ys = np.minimum(np.arange(bh * 8), h - 1)
+    lin = lut[np.asarray(rgb, dtype=np.uint8)][ys][:, xs]   # [8bh, 8bw, 3]
+    tiles = (lin.reshape(bh, 8, bw, 8, 3)
+             .transpose(0, 2, 4, 1, 3)
+             .reshape(bh * bw, 3, 8, 8))
+    return opsin_dynamics_blocks(jnp.asarray(tiles))

@@ -1,0 +1,517 @@
+"""The Guetzli search driver: quant-matrix search + frequency masking.
+
+TPU redesign of guetzli/processor.cc. The orchestration (binary search over
+quant matrices, the up/down coefficient adjustment loop, output selection)
+stays on host exactly as the reference keeps it on CPU; every metric
+evaluation inside it is a single jitted device call:
+
+  * TryQuantMatrix (processor.cc:310-338)  -> one batched requantize +
+    full-diffmap compare per candidate matrix;
+  * ComputeBlockZeroingOrder loop (:376-487, :643-671) -> one batched
+    greedy zeroing kernel over all blocks (search/zeroing.py);
+  * the back-end up/down loop (:723-919) -> host loop with device
+    distmap/weights, incremental histogram entropy estimation on host.
+"""
+
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from guetzli_tpu import consts
+from guetzli_tpu.codec import histograms as hg
+from guetzli_tpu.codec import jpeg_data as jd
+from guetzli_tpu.codec import writer as jwriter
+from guetzli_tpu.codec.encoder import encode_rgb_to_jpeg
+from guetzli_tpu.comparator import Comparator
+from guetzli_tpu.search import state as st
+from guetzli_tpu.search import zeroing
+
+K_BLOCK = 192
+
+
+@dataclass
+class Params:
+    """processor.h:34-42."""
+    butteraugli_target: float = 1.0
+    clear_metadata: bool = True
+    try_420: bool = False
+    force_420: bool = False
+    use_silver_screen: bool = False
+    zeroing_greedy_lookahead: int = 3
+    new_zeroing_model: bool = True
+
+
+@dataclass
+class GuetzliOutput:
+    jpeg_data: bytes = b""
+    score: float = -1.0
+
+
+@dataclass
+class ProcessStats:
+    counters: dict = field(default_factory=dict)
+    debug: bool = False
+
+    def inc(self, name, amount=1):
+        self.counters[name] = self.counters.get(name, 0) + amount
+
+    def log(self, fmt, *args):
+        if self.debug:
+            sys.stderr.write(fmt % args if args else fmt)
+
+
+def compare_quant_matrices(a, b):
+    """processor.cc:168-190 lexicographic dominance compare on [192]."""
+    a = a.reshape(-1)
+    b = b.reshape(-1)
+    if np.array_equal(a, b):
+        return 0
+    if np.all(a <= b):
+        return -1
+    if np.all(a >= b):
+        return 1
+    return 2
+
+
+def quant_matrix_heuristic_score(q):
+    """processor.cc:196-204."""
+    cs = 1.0 / (1.0 + consts.JPEG_ZIGZAG_ORDER.astype(np.float64) / 2.0)
+    return float(np.sum(0.5 * (q.astype(np.float64) - 1.0) * cs[None, :]))
+
+
+class QuantMatrixGenerator:
+    """Binary search over the heuristic CSF score (processor.cc:206-308)."""
+
+    def __init__(self, downsample):
+        self.downsample = downsample
+        self.hscore_a = -1.0
+        self.hscore_b = -1.0
+        self.total_csf = consts.TOTAL_CSF
+        self.quants = []          # list of (q, dist_ok)
+
+    def _q_for_score(self, score):
+        """processor.cc:284-294."""
+        q = np.zeros((3, 64), dtype=np.int32)
+        level = int(score / self.total_csf)
+        score -= level * self.total_csf
+        nat = consts.JPEG_NATURAL_ORDER
+        cs = 1.0 / (1.0 + consts.JPEG_ZIGZAG_ORDER.astype(np.float64) / 2.0)
+        for k in range(63, -1, -1):
+            q[:, nat[k]] = 2 * level + (3 if score > 0.0 else 1)
+            score -= 3.0 * cs[nat[k]]
+        return q
+
+    def get_next(self):
+        for _ in range(1000):
+            if self.hscore_b == -1.0:
+                if self.hscore_a == -1.0:
+                    hscore = 0.0 if self.downsample else self.total_csf
+                else:
+                    if self.hscore_a < 5.0 * self.total_csf:
+                        hscore = self.hscore_a + self.total_csf
+                    else:
+                        hscore = 2 * (self.hscore_a + self.total_csf)
+                if hscore > 100 * self.total_csf:
+                    return None
+            elif self.hscore_b == 0.0:
+                return None
+            elif self.hscore_a == -1.0:
+                hscore = 0.0
+            else:
+                eps = 0.05
+                mid = 0.5 * (self.hscore_a + self.hscore_b)
+                lower = self._q_for_score((1 - eps) * self.hscore_a
+                                          + eps * mid)
+                upper = self._q_for_score((1 - eps) * self.hscore_b
+                                          + eps * mid)
+                if compare_quant_matrices(lower, upper) == 0:
+                    return None
+                hscore = mid
+            q = self._q_for_score(hscore)
+            retry = False
+            for prev_q, dist_ok in self.quants:
+                if compare_quant_matrices(q, prev_q) == 0:
+                    if dist_ok:
+                        self.hscore_a = hscore
+                    else:
+                        self.hscore_b = hscore
+                    retry = True
+                    break
+            if not retry:
+                return q
+        return None
+
+    def add(self, q, dist_ok):
+        self.quants.append((q.copy(), dist_ok))
+        hscore = quant_matrix_heuristic_score(q)
+        if dist_ok:
+            self.hscore_a = max(self.hscore_a, hscore)
+        else:
+            self.hscore_b = (hscore if self.hscore_b == -1.0
+                             else min(self.hscore_b, hscore))
+
+
+class Processor:
+    def __init__(self, params: Params, comparator, stats: ProcessStats):
+        self.params = params
+        self.comparator: Comparator = comparator
+        self.stats = stats
+        self.final = GuetzliOutput()
+
+    # ---------------------------------------------------------------
+
+    def output_jpeg(self, jpg) -> bytes:
+        return jwriter.write_jpeg(jpg, self.params.clear_metadata)
+
+    def maybe_output(self, encoded: bytes):
+        score = self.comparator.score_output_size(len(encoded))
+        self.stats.log(" Score[%.4f]", score)
+        if score < self.final.score or self.final.score < 0:
+            self.final.jpeg_data = encoded
+            self.final.score = score
+            self.stats.log(" (*)")
+        self.stats.log("\n")
+
+    def _compare(self, img: st.CoeffImage):
+        d = self.comparator.compare(img.coeffs, img.bw, img.bh)
+        self.stats.log(" BA[100.00%%] D[%6.4f]", d)
+        return d
+
+    # -- quant matrix selection (processor.cc:310-372) ----------------
+
+    def try_quant_matrix(self, jpg_in, target_mul, q, img: st.CoeffImage):
+        img2 = st.CoeffImage.from_jpeg(jpg_in)
+        img.coeffs, img.quant = img2.coeffs, img2.quant
+        img.apply_global_quantization(q)
+        jpg_out = img.save_to_jpeg_data(jpg_in)
+        encoded = self.output_jpeg(jpg_out)
+        self.stats.inc("iters")
+        self.stats.log("Iter %2d: GQ[%5.2f] Out[%7d]",
+                       self.stats.counters["iters"],
+                       quant_matrix_heuristic_score(q), len(encoded))
+        self._compare(img)
+        dist_ok = self.comparator.distance_ok(target_mul)
+        self.maybe_output(encoded)
+        return dist_ok, len(encoded)
+
+    def select_quant_matrix(self, jpg_in, downsample, best_q,
+                            img: st.CoeffImage):
+        qgen = QuantMatrixGenerator(downsample)
+        target_mul_high = 0.97
+        target_mul_low = 0.95
+
+        best = (best_q.copy(),) + self.try_quant_matrix(
+            jpg_in, target_mul_high, best_q, img)
+        while True:
+            q_next = qgen.get_next()
+            if q_next is None:
+                break
+            data = (q_next,) + self.try_quant_matrix(
+                jpg_in, target_mul_high, q_next, img)
+            qgen.add(q_next, data[1])
+            # CompareQuantData (processor.cc:162-166)
+            better = ((data[1] and not best[1])
+                      or (data[1] == best[1] and data[2] < best[2]))
+            if better:
+                best = data
+                if data[1] and not self.comparator.distance_ok(
+                        target_mul_low):
+                    break
+        best_q[:] = best[0]
+        return best[1]
+
+    # -- frequency masking (processor.cc:559-721) ---------------------
+
+    def select_frequency_masking(self, jpg, img: st.CoeffImage, comp_mask,
+                                 target_mul, stop_early):
+        factor = 1  # YUV444 path; 420 uses the 16x16 macroblock grid
+        nb = img.bw * img.bh
+        self.comparator.start_block_comparisons()
+        xyb0_tiles, scales, ysel, xsel = self.comparator.block_state(
+            factor, factor)
+
+        blocks = np.transpose(img.coeffs, (1, 0, 2))        # [NB, 3, 64]
+        orig = np.stack([c.coeffs.astype(np.int32)
+                         * jpg.quant[c.quant_idx].values[None, :]
+                         for c in jpg.components])          # quant is ones
+        orig = np.transpose(orig, (1, 0, 2))
+
+        out_idx, out_err, num = zeroing.compute_zeroing_order(
+            blocks, orig, comp_mask,
+            np.float32(self.comparator.block_error_limit()),
+            xyb0_tiles, scales, ysel, xsel,
+            lookahead=self.params.zeroing_greedy_lookahead,
+            new_model=self.params.new_zeroing_model)
+        out_idx = np.asarray(out_idx)
+        out_err = np.asarray(out_err)
+        num = np.asarray(num)
+
+        # CSR candidate arrays (processor.cc:694-716).
+        offsets = np.zeros(nb + 1, dtype=np.int64)
+        cand_idx = []
+        cand_err = []
+        limit = self.comparator.block_error_limit()
+        for b in range(nb):
+            offsets[b] = len(cand_idx)
+            n = int(num[b])
+            errs = out_err[b, :n]
+            sel = (errs > 0) & (errs <= limit)
+            cand_idx.extend(out_idx[b, :n][sel].tolist())
+            cand_err.extend(errs[sel].tolist())
+        offsets[nb] = len(cand_idx)
+        self.comparator.finish_block_comparisons()
+
+        self.select_frequency_back_end(
+            jpg, img, comp_mask, target_mul, stop_early,
+            offsets, np.array(cand_idx, dtype=np.int32),
+            np.array(cand_err, dtype=np.float32))
+
+    # -- back-end up/down loop (processor.cc:723-919) -----------------
+
+    def select_frequency_back_end(self, jpg, img: st.CoeffImage, comp_mask,
+                                  target_mul, stop_early,
+                                  offsets, cand_idx, cand_err):
+        ncomp = len(jpg.components)
+        width, height = img.width, img.height
+        factor = 1
+        bw, bh = img.bw, img.bh
+        nb = bw * bh
+
+        jpg_out = img.save_to_jpeg_data(jpg)
+        jpg_header_size = jwriter.jpeg_header_size(
+            jpg_out, self.params.clear_metadata)
+        dc_size = hg.estimate_dc_size(jpg_out)
+        ac_histograms = hg.build_ac_histograms(jpg_out)
+        while len(ac_histograms) < ncomp:
+            ac_histograms.append(hg.new_histogram())
+        ac_depths, ac_histogram_size = hg.compute_entropy_codes(ac_histograms)
+        base_size = (jpg_header_size + dc_size + ac_histogram_size
+                     + hg.entropy_coded_data_size(ac_histograms, ac_depths))
+        prev_size = base_size
+
+        max_block_error = np.zeros(nb, dtype=np.float32)
+        last_indexes = np.zeros(nb, dtype=np.int64)
+        first_up_iter = True
+        limit = self.comparator.block_error_limit()
+
+        for direction in (1, -1):
+            while True:
+                if stop_early and direction == -1:
+                    if prev_size > 1.01 * len(self.final.jpeg_data):
+                        break
+                block_weight = None
+                global_order = []
+                blocks_to_change = 0
+                for rblock in range(1, 5):
+                    distmap = (np.zeros((height, width), dtype=np.float32)
+                               if first_up_iter
+                               else np.asarray(self.comparator.distmap))
+                    block_weight = \
+                        self.comparator.compute_block_error_adjustment_weights(
+                            direction, rblock, target_mul, factor, factor,
+                            distmap)
+                    global_order = []
+                    blocks_to_change = 0
+                    ncand_total = len(cand_err)
+                    for b in range(nb):
+                        last_index = int(last_indexes[b])
+                        offset = max(0, min(int(offsets[b]),
+                                            ncand_total - 1))
+                        num_candidates = int(offsets[b + 1]) - offset
+                        if block_weight[b] == 0:
+                            continue
+                        if direction > 0:
+                            for i in range(last_index, num_candidates):
+                                val = ((cand_err[offset + i]
+                                        - max_block_error[b])
+                                       / block_weight[b])
+                                global_order.append((b, val))
+                            blocks_to_change += (
+                                1 if last_index < num_candidates else 0)
+                        else:
+                            for i in range(last_index - 1, -1, -1):
+                                val = ((max_block_error[b]
+                                        - cand_err[offset + i])
+                                       / block_weight[b])
+                                global_order.append((b, val))
+                            blocks_to_change += (1 if last_index > 0 else 0)
+                    if global_order:
+                        break
+                if not global_order:
+                    break
+
+                global_order.sort(key=lambda p: p[1])
+
+                rel_size_delta = 0.01 if direction > 0 else 0.0005
+                if direction > 0 and self.comparator.distance_ok(1.0):
+                    rel_size_delta = 0.05
+                min_size_delta = base_size * rel_size_delta
+                coeffs_to_change_per_block = (
+                    2.0 if direction > 0 else factor * factor * 0.2)
+                min_coeffs_to_change = int(
+                    coeffs_to_change_per_block * blocks_to_change)
+
+                if first_up_iter:
+                    thr = 0.75 * limit
+                    cnt = 0
+                    for _, val in global_order:
+                        if val < thr:
+                            cnt += 1
+                        else:
+                            break
+                    min_coeffs_to_change = max(min_coeffs_to_change, cnt)
+                    first_up_iter = False
+
+                changed_blocks = set()
+                val_threshold = 0.0
+                changed_coeffs = 0
+                est_jpg_size = prev_size
+                ncand_total = len(cand_idx)
+                for i, (b, val) in enumerate(global_order):
+                    last_idx = int(last_indexes[b])
+                    offset = max(0, min(int(offsets[b]), ncand_total - 1))
+                    idx = int(cand_idx[offset + last_idx
+                                       + min(direction, 0)])
+                    c = idx // 64
+                    k = idx % 64
+                    quant_c = img.quant[c]
+                    block_ix = b
+                    if direction > 0:
+                        newval = 0
+                    else:
+                        newval = int(st.quantize(
+                            int(jpg.components[c].coeffs[block_ix, k])
+                            * int(jpg.quant[
+                                jpg.components[c].quant_idx].values[k]),
+                            int(quant_c[k])))
+                    block = img.coeffs[c, block_ix].copy()
+                    hg.update_ac_histogram(-1, block, quant_c,
+                                           ac_histograms[c])
+                    block[k] = newval
+                    hg.update_ac_histogram(1, block, quant_c,
+                                           ac_histograms[c])
+                    img.coeffs[c, block_ix] = block
+                    last_indexes[b] += direction
+                    changed_blocks.add(b)
+                    val_threshold = val
+                    changed_coeffs += 1
+                    if i % 10 == 0:
+                        ac_depths, ac_histogram_size = \
+                            hg.compute_entropy_codes(ac_histograms)
+                    est_jpg_size = (
+                        jpg_header_size + dc_size + ac_histogram_size
+                        + hg.entropy_coded_data_size(ac_histograms,
+                                                     ac_depths))
+                    if (changed_coeffs > min_coeffs_to_change
+                            and abs(est_jpg_size - prev_size)
+                            > min_size_delta):
+                        break
+
+                max_block_error += (np.asarray(block_weight)
+                                    * val_threshold * direction)
+
+                self.stats.inc("iters")
+                self.stats.inc("iters_up" if direction > 0
+                               else "iters_down")
+                jpg_out = img.save_to_jpeg_data(jpg)
+                encoded = self.output_jpeg(jpg_out)
+                self.stats.log(
+                    "Iter %2d: (%d) %s Coeffs[%d/%d] Blocks[%d/%d/%d] "
+                    "ValThres[%.4f] Out[%7d] EstErr[%.2f%%]",
+                    self.stats.counters["iters"], comp_mask,
+                    "up" if direction > 0 else "down", changed_coeffs,
+                    len(global_order), len(changed_blocks),
+                    blocks_to_change, nb, val_threshold, len(encoded),
+                    100.0 - (100.0 * est_jpg_size) / len(encoded))
+                self._compare(img)
+                self.maybe_output(encoded)
+                prev_size = est_jpg_size
+
+    # -- top-level (processor.cc:931-1020) ----------------------------
+
+    def process_jpeg_data(self, jpg_in: jd.JpegData) -> bool:
+        if self.params.butteraugli_target > 2.0:
+            sys.stderr.write(
+                "Guetzli should be called with quality >= 84.\n")
+            return False
+        if len(jpg_in.components) != 3:
+            sys.stderr.write("Only YUV color space input jpeg supported\n")
+            return False
+        if jpg_in.is_444():
+            input_is_420 = False
+        elif jpg_in.is_420():
+            input_is_420 = True
+        else:
+            sys.stderr.write("Unsupported sampling factors\n")
+            return False
+
+        encoded = self.output_jpeg(jpg_in)
+        self.final.score = -1
+        self.stats.log("Original Out[%7d]", len(encoded))
+        if self.comparator is None:
+            self.stats.log(" <image too small for Butteraugli>\n")
+            self.final.jpeg_data = encoded
+            self.final.score = len(encoded)
+            return True
+
+        jpg = _copy_jpeg(jpg_in)
+        q_in = st.remove_original_quantization(jpg)
+        img = st.CoeffImage.from_jpeg(jpg)
+        self._compare(img)
+        self.maybe_output(encoded)
+
+        try_420 = 1 if (input_is_420 or self.params.force_420
+                        or (self.params.try_420
+                            and not _is_grayscale(jpg_in))) else 0
+        force_420 = 1 if (input_is_420 or self.params.force_420) else 0
+        if try_420:
+            raise NotImplementedError(
+                "YUV420 output path not yet implemented")
+        for _downsample in range(force_420, try_420 + 1):
+            jpg = _copy_jpeg(jpg_in)
+            st.remove_original_quantization(jpg)
+            img = st.CoeffImage.from_jpeg(jpg)
+            best_q = q_in.copy()
+            if not self.select_quant_matrix(jpg, False, best_q, img):
+                best_q[:] = 1
+            img2 = st.CoeffImage.from_jpeg(jpg)
+            img.coeffs, img.quant = img2.coeffs, img2.quant
+            img.apply_global_quantization(best_q)
+            self.select_frequency_masking(jpg, img, 7, 1.0, False)
+        return True
+
+
+def _copy_jpeg(jpg: jd.JpegData) -> jd.JpegData:
+    import copy
+    out = copy.copy(jpg)
+    out.components = [
+        jd.Component(id=c.id, h_samp_factor=c.h_samp_factor,
+                     v_samp_factor=c.v_samp_factor, quant_idx=c.quant_idx,
+                     width_in_blocks=c.width_in_blocks,
+                     height_in_blocks=c.height_in_blocks,
+                     coeffs=c.coeffs.copy())
+        for c in jpg.components]
+    out.quant = [jd.QuantTable(t.values.copy(), t.precision, t.index,
+                               t.is_last) for t in jpg.quant]
+    out.app_data = list(jpg.app_data)
+    out.com_data = list(jpg.com_data)
+    return out
+
+
+def _is_grayscale(jpg: jd.JpegData) -> bool:
+    return all(not np.any(jpg.components[c].coeffs) for c in (1, 2))
+
+
+def process_rgb(params: Params, rgb, w, h,
+                stats: ProcessStats = None) -> bytes:
+    """guetzli::Process for RGB input (processor.cc:1157-1185)."""
+    stats = stats or ProcessStats()
+    jpg = encode_rgb_to_jpeg(rgb, w, h)
+    comparator = None
+    if w >= 32 and h >= 32:
+        comparator = Comparator(rgb, w, h, params.butteraugli_target)
+    proc = Processor(params, comparator, stats)
+    if not proc.process_jpeg_data(jpg):
+        raise ValueError("processing failed")
+    return proc.final.jpeg_data

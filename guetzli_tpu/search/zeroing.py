@@ -1,0 +1,146 @@
+"""Batched per-block coefficient zeroing order.
+
+TPU redesign of Processor::ComputeBlockZeroingOrder (processor.cc:376-487)
+and its GPU twin clComputeBlockZeroingOrderEx (clguetzli.cl:752-879): the
+reference runs a greedy serial loop per macroblock (one CPU iteration / one
+GPU work-item per block). Here the loop over blocks is vectorized -- a
+single `lax.while_loop` advances *all* blocks one greedy step per iteration,
+evaluating every block's `lookahead` candidates through the batched
+tile-compare pipeline, and masks out blocks whose candidate list is
+exhausted. The per-block sequential dependency (each zeroed coefficient
+changes the next evaluation) is preserved exactly; only the embarrassing
+block parallelism is mapped onto the vector units.
+
+Output mirrors the reference contract: per block, the order in which AC
+coefficients were zeroed with the (monotonic, suffix-min) block error after
+each removal, cut off at the block error limit.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from guetzli_tpu import consts
+from guetzli_tpu.ops import tiles as tile_ops
+
+K = 192  # 3 * 64 candidate slots per block
+
+
+def candidate_scores(blocks, orig_blocks, comp_mask, new_model=True):
+    """Zeroing priority of each (channel, coeff) slot (processor.cc:393-409).
+
+    Lower score = zeroed earlier. Invalid slots (DC, zero coeffs, masked
+    channels) get +inf.
+    """
+    nb = blocks.shape[0]
+    csf = jnp.asarray(consts.ZEROING_CSF)          # [3, 64]
+    bias = jnp.asarray(consts.ZEROING_BIAS)
+    old_csf = jnp.asarray(consts.OLD_CSF)          # [64]
+    weight = jnp.asarray(consts.ZEROING_OLD_WEIGHT)
+    zigzag = jnp.asarray(consts.JPEG_ZIGZAG_ORDER.astype(np.float32))
+
+    absorig = jnp.abs(orig_blocks).astype(jnp.float32)   # [NB, 3, 64]
+    if new_model:
+        score = absorig * csf[None] + bias[None]
+    else:
+        score = ((absorig - zigzag[None, None] / 64.0)
+                 * weight[None, :, None] / old_csf[None, None])
+
+    chan_ok = jnp.asarray(
+        [(comp_mask >> c) & 1 for c in range(3)], dtype=bool)
+    k_ok = jnp.arange(64) >= 1
+    valid = (blocks != 0) & chan_ok[None, :, None] & k_ok[None, None, :]
+    return jnp.where(valid, score, jnp.inf).reshape(nb, K)
+
+
+@partial(jax.jit, static_argnames=("comp_mask", "lookahead", "new_model",
+                                   "early_exit"))
+def compute_zeroing_order(blocks, orig_blocks, comp_mask, limit,
+                          xyb0_tiles, scales, ysel, xsel,
+                          lookahead=3, new_model=True, early_exit=False):
+    """Greedy zeroing order for all blocks simultaneously.
+
+    Args:
+      blocks:      [NB, 3, 64] int32 current dequantized coefficients.
+      orig_blocks: [NB, 3, 64] int32 original dequantized coefficients.
+      comp_mask:   channel bitmask (7 for YUV444, 1 for Y, 6 for UV).
+      limit:       comparator block error limit (target distance).
+      xyb0_tiles, scales, ysel, xsel: Comparator.block_state() outputs.
+      early_exit:  stop a block once its best error reaches the limit (the
+        reference `--c` fast path, processor.cc:458-465); the default full
+        semantics match MODE_CPU.
+    Returns:
+      out_idx [NB, K] int32 (c*64+k of each zeroed coefficient, in order),
+      out_err [NB, K] float32 monotonic block errors,
+      num     [NB] int32 entries below the error limit (candidate counts).
+    """
+    nb = blocks.shape[0]
+    scores = candidate_scores(blocks, orig_blocks, comp_mask, new_model)
+    order0 = jnp.argsort(scores, axis=1).astype(jnp.int32)     # [NB, K]
+    n_cand = jnp.sum(jnp.isfinite(scores), axis=1).astype(jnp.int32)
+
+    ysel_l = jnp.repeat(ysel, lookahead, axis=0)
+    xsel_l = jnp.repeat(xsel, lookahead, axis=0)
+    xyb0_l = jnp.repeat(xyb0_tiles, lookahead, axis=0)
+    scales_l = jnp.repeat(scales, lookahead, axis=0)
+
+    def body(state):
+        processed, order, n_remaining, out_idx, out_err, t = state
+        active = n_remaining > 0
+        flat = processed.reshape(nb, K)
+
+        # Evaluate zeroing each of the next `lookahead` candidates.
+        idxs = order[:, :lookahead]                            # [NB, L]
+        cand = (flat[:, None, :]
+                * (1 - jax.nn.one_hot(idxs, K, dtype=jnp.int32)))
+        cand = cand.reshape(nb * lookahead, 3, 64)
+        lin = tile_ops.tiles_to_linear_rgb(cand, xsel_l, ysel_l)
+        errs = tile_ops.compare_blocks(xyb0_l, lin, scales_l)
+        errs = errs.reshape(nb, lookahead)
+        l_valid = jnp.arange(lookahead)[None, :] < n_remaining[:, None]
+        errs = jnp.where(l_valid, errs, jnp.inf)
+
+        best_l = jnp.argmin(errs, axis=1).astype(jnp.int32)    # [NB]
+        best_err = jnp.min(errs, axis=1)
+        best_idx = jnp.take_along_axis(order, best_l[:, None],
+                                       axis=1)[:, 0]           # [NB]
+
+        zero_mask = jax.nn.one_hot(best_idx, K, dtype=jnp.int32)
+        new_flat = jnp.where(active[:, None], flat * (1 - zero_mask), flat)
+
+        # Remove position best_l by shifting the tail left.
+        j = jnp.arange(K, dtype=jnp.int32)[None, :]
+        src = jnp.minimum(j + (j >= best_l[:, None]), K - 1)
+        new_order = jnp.where(active[:, None],
+                              jnp.take_along_axis(order, src, axis=1), order)
+
+        out_idx = out_idx.at[:, t].set(jnp.where(active, best_idx, 0))
+        out_err = out_err.at[:, t].set(jnp.where(active, best_err, jnp.inf))
+
+        if early_exit:
+            stop = active & (best_err >= limit)
+        else:
+            stop = jnp.zeros_like(active)
+        new_remaining = jnp.where(stop, 0,
+                                  n_remaining - active.astype(jnp.int32))
+        return (new_flat.reshape(nb, 3, 64), new_order, new_remaining,
+                out_idx, out_err, t + 1)
+
+    def cond(state):
+        _, _, n_remaining, _, _, t = state
+        return jnp.logical_and(jnp.any(n_remaining > 0), t < K)
+
+    init = (blocks.astype(jnp.int32), order0, n_cand,
+            jnp.zeros((nb, K), jnp.int32),
+            jnp.full((nb, K), jnp.inf, jnp.float32),
+            jnp.int32(0))
+    _, _, _, out_idx, out_err, _ = jax.lax.while_loop(cond, body, init)
+
+    # Monotonic pass: suffix min (processor.cc:467-472), then cutoff at the
+    # block error limit (:473-479). The suffix-min is non-decreasing, so the
+    # entries at or below the limit form a prefix.
+    rev_min = jax.lax.cummin(out_err[:, ::-1], axis=1)[:, ::-1]
+    num = jnp.sum(rev_min <= limit, axis=1).astype(jnp.int32)
+    return out_idx, rev_min, num

@@ -1,0 +1,79 @@
+"""End-to-end encoder tests: golden-semantics validation (SURVEY.md §4).
+
+The reference's golden test demands bit-exact output; float TPU kernels
+can't promise that, so these assert the BASELINE semantics instead: the
+output must decode, its butteraugli distance (per our validated metric) must
+land at the quality target, and the file size must be within a few percent
+of the reference encoder's output for the same input (reference outputs
+captured from a CPU build of /root/reference).
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from tests.conftest import FIXTURES, load_u8
+
+from guetzli_tpu import consts
+from guetzli_tpu.search.processor import Params, ProcessStats, process_rgb
+
+# Reference-encoder results for the same pixels (CPU build of
+# /root/reference, default mode): (size_bytes, distance).
+REF_96x64_Q95 = (2364, 0.9713)
+
+
+@pytest.fixture(scope="module")
+def rgb96x64():
+    from guetzli_tpu.io.png import read_png
+    with open(FIXTURES / "bees96x64.png", "rb") as f:
+        rgb, w, h = read_png(f.read())
+    assert (w, h) == (96, 64)
+    return rgb
+
+
+def test_e2e_96x64_q95(rgb96x64):
+    params = Params()
+    params.butteraugli_target = consts.butteraugli_score_for_quality(95)
+    out = process_rgb(params, rgb96x64, 96, 64, ProcessStats())
+
+    # Valid JPEG, decodable.
+    from PIL import Image
+    im = Image.open(io.BytesIO(out))
+    im.load()
+    assert im.size == (96, 64)
+
+    # Size within 2% of the reference encoder's output.
+    ref_size, ref_dist = REF_96x64_Q95
+    assert abs(len(out) - ref_size) <= 0.02 * ref_size, len(out)
+
+    # Distance lands at the target like the reference's did.
+    from guetzli_tpu.comparator import Comparator
+    from guetzli_tpu.codec import jpeg_data as jd
+    target = params.butteraugli_target
+    # Decode our own output via PIL and score it against the original.
+    dec = np.asarray(im.convert("RGB"), dtype=np.uint8)
+    comp = Comparator(rgb96x64, 96, 64, target)
+    lut = consts.SRGB_TO_LINEAR.astype(np.float32)
+    from guetzli_tpu.ops.opsin import opsin_dynamics_image
+    from guetzli_tpu.ops import diffmap as dm
+    import jax.numpy as jnp
+    xyb1 = opsin_dynamics_image(jnp.asarray(lut[dec].transpose(2, 0, 1)))
+    dist = float(dm.score_from_diffmap(
+        dm.diffmap_opsin_dynamics(comp.xyb0, xyb1)))
+    # PIL's IDCT differs slightly from the in-search reconstruction; allow
+    # a modest band around the target.
+    assert dist <= target * 1.08, dist
+    assert abs(dist - ref_dist) < 0.1
+
+
+def test_small_image_passthrough():
+    """Images under 32x32 skip the comparator (processor.cc:971-977)."""
+    rgb = np.full((16, 16, 3), 128, dtype=np.uint8)
+    params = Params()
+    params.butteraugli_target = consts.butteraugli_score_for_quality(95)
+    out = process_rgb(params, rgb, 16, 16, ProcessStats())
+    from PIL import Image
+    im = Image.open(io.BytesIO(out))
+    im.load()
+    assert im.size == (16, 16)
