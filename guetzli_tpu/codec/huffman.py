@@ -14,6 +14,28 @@ K_MAX_BIT_LENGTH = 16
 K_ALPHABET = 257   # 256 symbols + the guard symbol with count 1
 
 
+_TREE_CACHE = {}
+_TREE_CACHE_MAX = 20000
+
+
+def create_huffman_tree_cached(counts, tree_limit=K_MAX_BIT_LENGTH):
+    """Memoized create_huffman_tree.
+
+    The back-end search recomputes entropy codes every 10 coefficient
+    flips (processor.cc:879-884) but usually only one of the histograms
+    changed; identical histograms recur constantly across iterations.
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    key = (counts.tobytes(), tree_limit)
+    hit = _TREE_CACHE.get(key)
+    if hit is None:
+        if len(_TREE_CACHE) >= _TREE_CACHE_MAX:
+            _TREE_CACHE.clear()
+        hit = create_huffman_tree(counts, tree_limit)
+        _TREE_CACHE[key] = hit
+    return hit
+
+
 def create_huffman_tree(counts, tree_limit=K_MAX_BIT_LENGTH):
     """Return depths uint8[len(counts)] (entropy_encode.cc:746-818).
 

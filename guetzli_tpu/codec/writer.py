@@ -178,20 +178,19 @@ def _scan_tokens(jpg, dc_tables, ac_tables):
         symbol = (rr << 4) + vnbits
         temp2ac = np.where(zig < 0, ~absz, zig)
 
-        for k in range(63):
-            base = 2 + 5 * k
-            mk = mask[:, k]
-            for f in range(3):
-                emit = mk & (nf0[:, k] > f)
-                tok_bits[:, base + f] = np.where(
-                    emit, ac_depth[0xf0], 0)
-                tok_vals[:, base + f] = np.where(emit, ac_code[0xf0], 0)
-            tok_bits[:, base + 3] = np.where(mk, ac_depth[symbol[:, k]], 0)
-            tok_vals[:, base + 3] = np.where(mk, ac_code[symbol[:, k]], 0)
-            tok_bits[:, base + 4] = np.where(mk, vnbits[:, k], 0)
-            tok_vals[:, base + 4] = np.where(
-                mk, temp2ac[:, k] & ((1 << np.maximum(vnbits[:, k], 1)) - 1),
-                0)
+        ac = tok_bits[:, 2:2 + 63 * 5].reshape(nb, 63, 5)
+        acv = tok_vals[:, 2:2 + 63 * 5].reshape(nb, 63, 5)
+        for f in range(3):
+            emit = mask & (nf0 > f)
+            ac[:, :, f] = np.where(emit, ac_depth[0xf0], 0)
+            acv[:, :, f] = np.where(emit, ac_code[0xf0], 0)
+        ac[:, :, 3] = np.where(mask, ac_depth[symbol], 0)
+        acv[:, :, 3] = np.where(mask, ac_code[symbol], 0)
+        ac[:, :, 4] = np.where(mask, vnbits, 0)
+        acv[:, :, 4] = np.where(
+            mask, temp2ac & ((1 << np.maximum(vnbits, 1)) - 1), 0)
+        tok_bits[:, 2:2 + 63 * 5] = ac.reshape(nb, 63 * 5)
+        tok_vals[:, 2:2 + 63 * 5] = acv.reshape(nb, 63 * 5)
 
         eob = lastnz[:, -1] < 63
         tok_bits[:, -1] = np.where(eob, ac_depth[0], 0)
@@ -214,7 +213,13 @@ def _scan_tokens(jpg, dc_tables, ac_tables):
 
 
 def _pack_bits(tok_bits, tok_vals):
-    """Concatenate variable-length big-endian tokens into stuffed bytes."""
+    """Concatenate variable-length big-endian tokens into stuffed bytes.
+
+    Each token is at most 16 bits, so after aligning it into a 32-bit
+    big-endian window starting at its byte offset it touches at most 4
+    bytes; tokens never share bits, so per-byte contributions can be summed
+    with bincount -- no bit-array materialization.
+    """
     valid = tok_bits > 0
     nbits = tok_bits[valid].astype(np.int64)
     vals = tok_vals[valid].astype(np.int64)
@@ -227,15 +232,19 @@ def _pack_bits(tok_bits, tok_vals):
         total += pad
     ends = np.cumsum(nbits)
     starts = ends - nbits
-    # Expand into a flat bit array.
-    j = np.arange(16)
-    sel = j[None, :] < nbits[:, None]
-    shifts = (nbits[:, None] - 1 - j[None, :])
-    bits = (vals[:, None] >> np.maximum(shifts, 0)) & 1
-    flat = np.zeros(total, dtype=np.uint8)
-    pos = (starts[:, None] + j[None, :])[sel]
-    flat[pos] = bits[sel]
-    data = np.packbits(flat)
+    nbytes = total // 8
+    byte_ix = starts >> 3
+    bit_off = starts & 7
+    window = (vals & ((1 << nbits) - 1)) << (32 - bit_off - nbits)
+    out = np.zeros(nbytes, dtype=np.int64)
+    for shift in (24, 16, 8, 0):
+        contrib = (window >> shift) & 0xFF
+        pos = byte_ix + (3 - shift // 8)
+        sel = (contrib > 0) & (pos < nbytes)
+        if sel.any():
+            out += np.bincount(pos[sel], weights=contrib[sel],
+                               minlength=nbytes).astype(np.int64)
+    data = out.astype(np.uint8)
     # 0xFF byte stuffing.
     ff = np.nonzero(data == 0xff)[0]
     if len(ff):

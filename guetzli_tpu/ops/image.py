@@ -81,16 +81,21 @@ def srgb_to_linear(rgb_int):
     return lut[rgb_int]
 
 
+def coeffs_to_srgb(coeffs, bw, bh, w, h):
+    """[3, NB, 64] int32 dequantized YUV444 coefficients -> [3, H, W] int32
+    sRGB bytes (OutputImage::ToSRGB, output_image.cc:654-701)."""
+    pix = idct_blocks(coeffs) << 4        # pixel cache is scaled x16
+    planes = blocks_to_plane(pix, bw, bh, w, h)
+    return pixels_to_srgb(planes, w)
+
+
 def coeffs_to_linear_rgb(coeffs, bw, bh, w, h):
     """[3, NB, 64] int32 dequantized coefficients -> [3, H, W] linear RGB.
 
     The full OutputImage::ToLinearRGB path for a YUV444 image: integer IDCT,
     pixel cache semantics, YCbCr->RGB, sRGB->linear.
     """
-    pix = idct_blocks(coeffs) << 4        # pixel cache is scaled x16
-    planes = blocks_to_plane(pix, bw, bh, w, h)
-    rgb = pixels_to_srgb(planes, w)
-    return srgb_to_linear(rgb)
+    return srgb_to_linear(coeffs_to_srgb(coeffs, bw, bh, w, h))
 
 
 def quantize_coeffs(coeffs, quant):

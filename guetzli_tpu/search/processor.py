@@ -300,9 +300,17 @@ class Processor:
                 if stop_early and direction == -1:
                     if prev_size > 1.01 * len(self.final.jpeg_data):
                         break
+                # Build the global order (processor.cc:772-828), vectorized:
+                # per block, candidates [last_index, num) for up or
+                # [last_index) reversed for down, valued by error delta over
+                # block weight.
                 block_weight = None
-                global_order = []
+                order_blocks = order_vals = None
                 blocks_to_change = 0
+                ncand_total = len(cand_err)
+                clamped_off = np.clip(offsets[:nb], 0,
+                                      max(ncand_total - 1, 0))
+                num_candidates = offsets[1:] - clamped_off
                 for rblock in range(1, 5):
                     distmap = (np.zeros((height, width), dtype=np.float32)
                                if first_up_iter
@@ -311,37 +319,41 @@ class Processor:
                         self.comparator.compute_block_error_adjustment_weights(
                             direction, rblock, target_mul, factor, factor,
                             distmap)
-                    global_order = []
-                    blocks_to_change = 0
-                    ncand_total = len(cand_err)
-                    for b in range(nb):
-                        last_index = int(last_indexes[b])
-                        offset = max(0, min(int(offsets[b]),
-                                            ncand_total - 1))
-                        num_candidates = int(offsets[b + 1]) - offset
-                        if block_weight[b] == 0:
-                            continue
-                        if direction > 0:
-                            for i in range(last_index, num_candidates):
-                                val = ((cand_err[offset + i]
-                                        - max_block_error[b])
-                                       / block_weight[b])
-                                global_order.append((b, val))
-                            blocks_to_change += (
-                                1 if last_index < num_candidates else 0)
-                        else:
-                            for i in range(last_index - 1, -1, -1):
-                                val = ((max_block_error[b]
-                                        - cand_err[offset + i])
-                                       / block_weight[b])
-                                global_order.append((b, val))
-                            blocks_to_change += (1 if last_index > 0 else 0)
-                    if global_order:
+                    active = block_weight > 0
+                    if direction > 0:
+                        counts = np.where(
+                            active, np.maximum(
+                                num_candidates - last_indexes, 0), 0)
+                        starts = clamped_off + last_indexes
+                        step = 1
+                    else:
+                        counts = np.where(
+                            active, np.maximum(last_indexes, 0), 0)
+                        starts = clamped_off + last_indexes - 1
+                        step = -1
+                    blocks_to_change = int(np.count_nonzero(counts))
+                    total = int(counts.sum())
+                    if total:
+                        order_blocks = np.repeat(
+                            np.arange(nb, dtype=np.int64), counts)
+                        within = (np.arange(total, dtype=np.int64)
+                                  - np.repeat(np.cumsum(counts)
+                                              - counts, counts))
+                        pos = np.repeat(starts, counts) + step * within
+                        err = cand_err[pos]
+                        mbe = max_block_error[order_blocks]
+                        bwt = block_weight[order_blocks]
+                        order_vals = (np.float32(direction)
+                                      * (err - mbe) / bwt)
                         break
-                if not global_order:
+                if order_blocks is None:
                     break
 
-                global_order.sort(key=lambda p: p[1])
+                sort_ix = np.argsort(order_vals, kind="stable")
+                order_blocks = order_blocks[sort_ix]
+                order_vals = order_vals[sort_ix]
+                global_order = list(zip(order_blocks.tolist(),
+                                        order_vals.tolist()))
 
                 rel_size_delta = 0.01 if direction > 0 else 0.0005
                 if direction > 0 and self.comparator.distance_ok(1.0):
@@ -501,6 +513,48 @@ def _copy_jpeg(jpg: jd.JpegData) -> jd.JpegData:
 
 def _is_grayscale(jpg: jd.JpegData) -> bool:
     return all(not np.any(jpg.components[c].coeffs) for c in (1, 2))
+
+
+def decode_jpeg_to_rgb(jpg: jd.JpegData):
+    """DecodeJpegToRGB (jpeg_data_decoder.cc:45-53): interleaved sRGB bytes
+    or None for unsupported colorspaces/samplings."""
+    from guetzli_tpu.codec import reader
+    from guetzli_tpu.ops import image as img_ops
+    if len(jpg.components) == 3 and reader.has_ycbcr_colorspace(jpg) \
+            and jpg.is_444():
+        img = st.CoeffImage.from_jpeg(jpg)
+        srgb = np.asarray(img_ops.coeffs_to_srgb(
+            img.coeffs, img.bw, img.bh, img.width, img.height))
+        return srgb.transpose(1, 2, 0).astype(np.uint8)
+    return None
+
+
+def process_jpeg_bytes(params: Params, data: bytes,
+                       stats: ProcessStats = None):
+    """guetzli::Process for JPEG input (processor.cc:1029-1066)."""
+    from guetzli_tpu.codec import reader
+    stats = stats or ProcessStats()
+    try:
+        jpg = reader.read_jpeg(data)
+    except reader.JpegError as e:
+        sys.stderr.write("Can't read jpg data from input file: %s\n" % e)
+        return None
+    if not reader.check_jpeg_sanity(jpg):
+        sys.stderr.write("Unsupported input JPEG (unexpectedly large "
+                         "coefficient values).\n")
+        return None
+    rgb = decode_jpeg_to_rgb(jpg)
+    if rgb is None:
+        sys.stderr.write("Unsupported input JPEG colorspace/sampling.\n")
+        return None
+    comparator = None
+    if jpg.width >= 32 and jpg.height >= 32:
+        comparator = Comparator(rgb, jpg.width, jpg.height,
+                                params.butteraugli_target)
+    proc = Processor(params, comparator, stats)
+    if not proc.process_jpeg_data(jpg):
+        return None
+    return proc.final.jpeg_data
 
 
 def process_rgb(params: Params, rgb, w, h,

@@ -1,0 +1,92 @@
+"""JPEG parser tests: roundtrips through our bit-exact writer, reference
+encoder outputs, and PIL-generated baseline/progressive/420 files."""
+
+import io
+
+import numpy as np
+import pytest
+
+from tests.conftest import FIXTURES
+
+from guetzli_tpu.codec import jpeg_data as jd
+from guetzli_tpu.codec import reader, writer
+from guetzli_tpu.codec.encoder import encode_rgb_to_jpeg
+from guetzli_tpu.io.png import read_png
+
+
+@pytest.fixture(scope="module")
+def rgb96x64():
+    with open(FIXTURES / "bees96x64.png", "rb") as f:
+        rgb, w, h = read_png(f.read())
+    return rgb
+
+
+def test_roundtrip_own_writer(rgb96x64):
+    """Parse bytes produced by our writer; coefficients must be identical."""
+    jpg = encode_rgb_to_jpeg(rgb96x64, 96, 64,
+                             quant=np.full((3, 64), 3, dtype=np.int32))
+    data = writer.write_jpeg(jpg)
+    back = reader.read_jpeg(data)
+    assert back.width == 96 and back.height == 64
+    assert back.is_444()
+    for c in range(3):
+        np.testing.assert_array_equal(
+            back.components[c].coeffs, jpg.components[c].coeffs)
+        np.testing.assert_array_equal(
+            back.quant[back.components[c].quant_idx].values,
+            jpg.quant[jpg.components[c].quant_idx].values)
+
+
+def _pil_jpeg(rgb, subsampling, quality=90, progressive=False):
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, format="JPEG", quality=quality,
+                              subsampling=subsampling,
+                              progressive=progressive)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("subsampling,progressive", [
+    (0, False),      # 4:4:4 baseline
+    (2, False),      # 4:2:0 baseline
+    (0, True),       # 4:4:4 progressive
+    (2, True),       # 4:2:0 progressive
+])
+def test_parse_pil_jpegs(rgb96x64, subsampling, progressive):
+    """Parse libjpeg-produced files; reconstructed pixels must match PIL's
+    decoder (same integer IDCT family, tolerance for fancy upsampling)."""
+    from PIL import Image
+    data = _pil_jpeg(rgb96x64, subsampling, progressive=progressive)
+    jpg = reader.read_jpeg(data)
+    assert jpg.width == 96 and jpg.height == 64
+    if subsampling == 0:
+        assert jpg.is_444()
+    else:
+        assert jpg.is_420()
+    assert reader.check_jpeg_sanity(jpg)
+
+    if subsampling == 0:
+        from guetzli_tpu.search.processor import decode_jpeg_to_rgb
+        ours = decode_jpeg_to_rgb(jpg)
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        diff = np.abs(ours.astype(int) - pil.astype(int))
+        # libjpeg's IDCT and ours agree to the +-1 rounding family.
+        assert diff.max() <= 2, diff.max()
+
+
+def test_parse_reference_output(rgb96x64):
+    """Parse a JPEG emitted by the reference encoder (clustered Huffman,
+    stripped metadata)."""
+    path = FIXTURES / "bees96x64_ref_q95.jpg"
+    if not path.exists():
+        pytest.skip("reference output fixture not present")
+    jpg = reader.read_jpeg(path.read_bytes())
+    assert jpg.width == 96 and jpg.height == 64
+    assert reader.check_jpeg_sanity(jpg)
+
+
+def test_reject_garbage():
+    with pytest.raises(reader.JpegError):
+        reader.read_jpeg(b"not a jpeg")
+    with pytest.raises(reader.JpegError):
+        reader.read_jpeg(b"\xff\xd8\xff\xc0\x00\x05trunc")
