@@ -53,6 +53,30 @@ def _full_compare(coeffs, xyb0, bw, bh, w, h):
     return dm.score_from_diffmap(dmap), dmap
 
 
+@partial(jax.jit, static_argnames=("ybw", "ybh", "cbw", "cbh", "w", "h"))
+def _full_compare_420(y_coeffs, u_coeffs, v_coeffs, xyb0,
+                      ybw, ybh, cbw, cbh, w, h):
+    srgb = img_ops.coeffs420_to_srgb(y_coeffs, u_coeffs, v_coeffs,
+                                     ybw, ybh, cbw, cbh, w, h)
+    xyb1 = opsin_dynamics_image(img_ops.srgb_to_linear(srgb))
+    dmap = dm.diffmap_opsin_dynamics(xyb0, xyb1)
+    return dm.score_from_diffmap(dmap), dmap
+
+
+@partial(jax.jit, static_argnames=("bw", "bh", "w", "h"))
+def _chroma_byte_planes(u_coeffs, v_coeffs, bw, bh, w, h):
+    return jnp.stack([
+        img_ops.chroma_byte_plane(u_coeffs, bw, bh, w, h),
+        img_ops.chroma_byte_plane(v_coeffs, bw, bh, w, h)])
+
+
+@partial(jax.jit, static_argnames=("bw", "bh", "w", "h"))
+def _y_byte_plane(y_coeffs, bw, bh, w, h):
+    pix = img_ops.blocks_to_plane(
+        img_ops.idct_blocks(y_coeffs) << 4, bw, bh, w, h)
+    return img_ops.byte_plane(pix, w)
+
+
 @jax.jit
 def _whole_image_mask(xyb0):
     mask_xyz, _ = dm.mask(xyb0, xyb0)
@@ -92,6 +116,78 @@ class Comparator:
         self.distance = float(score)
         self.distmap = dmap
         return self.distance
+
+    def compare_img(self, img):
+        """Compare a CoeffImage (444 or 420 chroma sampling)."""
+        if img.is_444():
+            return self.compare(img.coeffs, img.bw, img.bh)
+        y, u, v = img.comps
+        score, dmap = _full_compare_420(
+            jnp.asarray(y.coeffs), jnp.asarray(u.coeffs),
+            jnp.asarray(v.coeffs), self.xyb0,
+            ybw=y.bw, ybh=y.bh, cbw=u.bw, cbh=u.bh,
+            w=self.width, h=self.height)
+        self.distance = float(score)
+        self.distmap = dmap
+        return self.distance
+
+    # -- 420 per-block evaluation state ---------------------------------
+
+    def frozen_chroma_blocks(self, img):
+        """[NBy, 2, 8, 8] frozen chroma bytes per full-res 8x8 block for
+        the 420 Y pass (edge bytes replicated by clamped gather)."""
+        u, v = img.comps[1], img.comps[2]
+        planes = _chroma_byte_planes(
+            jnp.asarray(u.coeffs), jnp.asarray(v.coeffs),
+            bw=u.bw, bh=u.bh, w=self.width, h=self.height)
+        w, h = self.width, self.height
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        gx = np.minimum(
+            (np.tile(np.arange(bw), bh)[:, None] * 8
+             + np.arange(8)[None, :]), w - 1)          # [NB, 8]
+        gy = np.minimum(
+            (np.repeat(np.arange(bh), bw)[:, None] * 8
+             + np.arange(8)[None, :]), h - 1)
+        return planes[:, gy[:, :, None], gx[:, None, :]] \
+            .transpose(1, 0, 2, 3)                     # [NB, 2, 8, 8]
+
+    def frozen_y_16x16(self, img, cbw, cbh):
+        """[NBc, 16, 16] frozen Y bytes per 16x16 macroblock for the 420
+        chroma pass."""
+        y = img.comps[0]
+        plane = _y_byte_plane(jnp.asarray(y.coeffs), bw=y.bw, bh=y.bh,
+                              w=self.width, h=self.height)
+        w, h = self.width, self.height
+        gx = np.minimum(
+            (np.tile(np.arange(cbw), cbh)[:, None] * 16
+             + np.arange(16)[None, :]), w - 1)
+        gy = np.minimum(
+            (np.repeat(np.arange(cbh), cbw)[:, None] * 16
+             + np.arange(16)[None, :]), h - 1)
+        return plane[gy[:, :, None], gx[:, None, :]]   # [NBc, 16, 16]
+
+    def children_state(self, cbw, cbh):
+        """Gather the full-res block-grid state into [NBc, 2, 2, ...] for
+        the 2x2 children of each 16x16 macroblock, plus a validity mask."""
+        xyb0_tiles, scales, ysel, xsel = self.block_state(1, 1)
+        w, h = self.width, self.height
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        cbx = np.tile(np.arange(cbw), cbh)
+        cby = np.repeat(np.arange(cbh), cbw)
+        ix = np.arange(2)
+        child_x = cbx[:, None, None] * 2 + ix[None, None, :]   # [NBc,1,2]
+        child_y = cby[:, None, None] * 2 + ix[None, :, None]   # [NBc,2,1]
+        valid = (child_x < bw) & (child_y < bh)                # [NBc,2,2]
+        idx = np.where(valid,
+                       child_y * bw + child_x, 0).reshape(-1)  # clamped
+        nbc = cbw * cbh
+
+        def g(a):
+            return jnp.asarray(np.asarray(a)[idx].reshape(
+                (nbc, 2, 2) + np.asarray(a).shape[1:]))
+
+        return (g(xyb0_tiles), g(scales), g(ysel), g(xsel),
+                jnp.asarray(valid))
 
     def distance_ok(self, target_mul):
         return self.distance <= target_mul * self.target_distance

@@ -81,6 +81,35 @@ def srgb_to_linear(rgb_int):
     return lut[rgb_int]
 
 
+def byte_plane(pix_x16, w):
+    """x16 pixel plane [..., H, W] -> bytes via the ToPixels parity dither
+    (output_image.cc:83)."""
+    x = jnp.arange(pix_x16.shape[-1], dtype=jnp.int32)
+    return (pix_x16 + (8 - (x & 1))[None, :]) >> 4
+
+
+def chroma_byte_plane(coeffs, bw, bh, w, h):
+    """Factor-2 chroma component [NB, 64] -> full-res bytes [h, w]:
+    IDCT -> x16 subsampled plane -> fancy upsample -> dither."""
+    from guetzli_tpu.ops import upsample as us
+    ws, hs = (w + 1) // 2, (h + 1) // 2
+    vals = idct_blocks(coeffs)
+    sub = blocks_to_plane(vals << 4, bw, bh, ws, hs)
+    full = us.fancy_upsample(sub, w, h)
+    return byte_plane(full, w)
+
+
+def coeffs420_to_srgb(y_coeffs, u_coeffs, v_coeffs, ybw, ybh, cbw, cbh,
+                      w, h):
+    """YUV420 state -> [3, H, W] int32 sRGB bytes (OutputImage::ToSRGB with
+    factor-2 chroma)."""
+    ypix = blocks_to_plane(idct_blocks(y_coeffs) << 4, ybw, ybh, w, h)
+    yb = byte_plane(ypix, w)
+    ub = chroma_byte_plane(u_coeffs, cbw, cbh, w, h)
+    vb = chroma_byte_plane(v_coeffs, cbw, cbh, w, h)
+    return ycbcr_to_rgb(yb, ub, vb)
+
+
 def coeffs_to_srgb(coeffs, bw, bh, w, h):
     """[3, NB, 64] int32 dequantized YUV444 coefficients -> [3, H, W] int32
     sRGB bytes (OutputImage::ToSRGB, output_image.cc:654-701)."""

@@ -126,6 +126,77 @@ def edge_gather_indices(bw, bh, w, h):
     return ysel, xsel
 
 
+def compare_blocks_420y(cand_y, chroma_bytes, xyb0_tiles, scales,
+                        ysel, xsel):
+    """420 Y-pass CompareBlock: candidate Y tiles against frozen upsampled
+    chroma bytes (the chroma planes don't change while comp_mask==1).
+
+    cand_y: [NB, 64] int32; chroma_bytes: [NB, 2, 8, 8] int32 (already
+    edge-replicated); rest as compare_blocks.
+    """
+    yv = img_ops.idct_blocks(cand_y).reshape(cand_y.shape[:-1] + (8, 8))
+    yv = jnp.take_along_axis(yv, ysel[..., :, None], axis=-2)
+    yv = jnp.take_along_axis(yv, xsel[..., None, :], axis=-1)
+    rgb = img_ops.ycbcr_to_rgb(yv, chroma_bytes[:, 0], chroma_bytes[:, 1])
+    lin = img_ops.srgb_to_linear(jnp.moveaxis(rgb, 0, -3))
+    return compare_blocks(xyb0_tiles, lin, scales)
+
+
+def compare_blocks_420c(cand_u, cand_v, neigh_u, neigh_v, y_bytes16,
+                        xyb0_sub, scales_sub, ysel_sub, xsel_sub,
+                        valid_sub):
+    """420 chroma-pass CompareBlock over 16x16 macroblocks.
+
+    Mirrors the GPU kernel's CompareBlockFactor (clguetzli.cl:3440-3639):
+    rebuild the candidate chroma 16x16 area by fancy-upsampling the 10x10
+    subsampled neighborhood (neighbors frozen at pass start -- the serial
+    reference restores every block after processing it, so neighbors always
+    hold pre-pass state), then evaluate the 2x2 grid of full-res 8x8
+    sub-blocks against the original and take the max error.
+
+    Args:
+      cand_u/cand_v: [NBc, 64] int32 candidate chroma coefficients.
+      neigh_u/neigh_v: [NBc, 10, 10] int32 frozen x16 subsampled planes.
+      y_bytes16: [NBc, 16, 16] int32 frozen Y bytes (edge-replicated per
+        sub-block).
+      xyb0_sub: [NBc, 2, 2, 3, 8, 8] original opsin tiles of the children.
+      scales_sub: [NBc, 2, 2, 3]; ysel_sub/xsel_sub: [NBc, 2, 2, 8];
+      valid_sub: [NBc, 2, 2] bool (sub-block inside the image).
+    Returns: [NBc] max block errors.
+    """
+    from guetzli_tpu.ops import upsample as us
+
+    def chroma16(cand, neigh):
+        v = img_ops.idct_blocks(cand).reshape(cand.shape[:-1] + (8, 8))
+        filled = neigh.at[..., 1:9, 1:9].set(v << 4)
+        return us.upsample_16x16_from_neighborhood(filled)   # x16 pixels
+
+    u16 = chroma16(cand_u, neigh_u)
+    v16 = chroma16(cand_v, neigh_v)
+    # ToPixels dither: x = 16*bx + ix, so parity is ix&1.
+    dith = 8 - (jnp.arange(16) & 1)
+    ub = (u16 + dith[None, None, :]) >> 4
+    vb = (v16 + dith[None, None, :]) >> 4
+
+    def split(p):
+        # [NBc, 16, 16] -> [NBc, 2, 2, 8, 8]
+        n = p.shape[0]
+        return p.reshape(n, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4)
+
+    ys, us_, vs = split(y_bytes16), split(ub), split(vb)
+    # Per-sub-block edge replication (ToPixels copies the last in-image
+    # byte), via clamped gathers.
+    def rep(p):
+        p = jnp.take_along_axis(p, ysel_sub[..., :, None], axis=-2)
+        return jnp.take_along_axis(p, xsel_sub[..., None, :], axis=-1)
+
+    rgb = img_ops.ycbcr_to_rgb(rep(ys), rep(us_), rep(vs))
+    lin = img_ops.srgb_to_linear(jnp.moveaxis(rgb, 0, -3))
+    errs = compare_blocks(xyb0_sub, lin, scales_sub)    # [NBc, 2, 2]
+    errs = jnp.where(valid_sub, errs, 0.0)   # max_err starts at 0
+    return jnp.max(errs, axis=(1, 2))
+
+
 def original_opsin_tiles(rgb, w, h, bw, bh):
     """Per-block opsin of the original sRGB image (SwitchBlock,
     butteraugli_comparator.cc:85-111): pixels sampled with coordinates

@@ -174,15 +174,14 @@ class Processor:
         self.stats.log("\n")
 
     def _compare(self, img: st.CoeffImage):
-        d = self.comparator.compare(img.coeffs, img.bw, img.bh)
+        d = self.comparator.compare_img(img)
         self.stats.log(" BA[100.00%%] D[%6.4f]", d)
         return d
 
     # -- quant matrix selection (processor.cc:310-372) ----------------
 
     def try_quant_matrix(self, jpg_in, target_mul, q, img: st.CoeffImage):
-        img2 = st.CoeffImage.from_jpeg(jpg_in)
-        img.coeffs, img.quant = img2.coeffs, img2.quant
+        img.comps = st.CoeffImage.from_jpeg(jpg_in).comps
         img.apply_global_quantization(q)
         jpg_out = img.save_to_jpeg_data(jpg_in)
         encoded = self.output_jpeg(jpg_out)
@@ -225,23 +224,65 @@ class Processor:
 
     def select_frequency_masking(self, jpg, img: st.CoeffImage, comp_mask,
                                  target_mul, stop_early):
-        factor = 1  # YUV444 path; 420 uses the 16x16 macroblock grid
-        nb = img.bw * img.bh
+        last_c = comp_mask.bit_length() - 1
+        grid = img.comps[last_c]
+        nb = grid.bw * grid.bh
+        lookahead = self.params.zeroing_greedy_lookahead
         self.comparator.start_block_comparisons()
-        xyb0_tiles, scales, ysel, xsel = self.comparator.block_state(
-            factor, factor)
 
-        blocks = np.transpose(img.coeffs, (1, 0, 2))        # [NB, 3, 64]
-        orig = np.stack([c.coeffs.astype(np.int32)
-                         * jpg.quant[c.quant_idx].values[None, :]
-                         for c in jpg.components])          # quant is ones
-        orig = np.transpose(orig, (1, 0, 2))
+        # Per-block current + original coefficients on the pass's grid;
+        # unmasked channels stay zero (processor.cc:645-658).
+        blocks = np.zeros((nb, 3, 64), dtype=np.int32)
+        orig = np.zeros((nb, 3, 64), dtype=np.int32)
+        for c in range(3):
+            if not (comp_mask & (1 << c)):
+                continue
+            comp = img.comps[c]
+            assert (comp.bw, comp.bh) == (grid.bw, grid.bh)
+            blocks[:, c, :] = comp.coeffs
+            jcomp = jpg.components[c]
+            src = jcomp.coeffs.reshape(jcomp.height_in_blocks,
+                                       jcomp.width_in_blocks, 64)
+            orig[:, c, :] = src[:grid.bh, :grid.bw].reshape(nb, 64) \
+                .astype(np.int32) \
+                * jpg.quant[jcomp.quant_idx].values[None, :]
 
-        out_idx, out_err, num = zeroing.compute_zeroing_order(
-            blocks, orig, comp_mask,
+        if img.is_444():
+            xyb0_tiles, scales, ysel, xsel = self.comparator.block_state(
+                1, 1)
+            eval_batch = zeroing.make_eval_444(
+                xyb0_tiles, scales, ysel, xsel, lookahead)
+        elif comp_mask == 1:
+            xyb0_tiles, scales, ysel, xsel = self.comparator.block_state(
+                1, 1)
+            chroma_bytes = self.comparator.frozen_chroma_blocks(img)
+            eval_batch = zeroing.make_eval_420y(
+                chroma_bytes, xyb0_tiles, scales, ysel, xsel, lookahead)
+        else:
+            from guetzli_tpu.ops import upsample as us
+            from guetzli_tpu.ops import image as img_ops
+            import jax.numpy as jnp
+            w, h = img.width, img.height
+            ws, hs = (w + 1) // 2, (h + 1) // 2
+            subs = []
+            for c in (1, 2):
+                comp = img.comps[c]
+                vals = np.asarray(img_ops.idct_blocks(
+                    jnp.asarray(comp.coeffs)))
+                sub = np.asarray(img_ops.blocks_to_plane(
+                    jnp.asarray(vals << 4), comp.bw, comp.bh, ws, hs))
+                subs.append(us.neighborhoods_10x10(sub, comp.bw, comp.bh))
+            y16 = self.comparator.frozen_y_16x16(img, grid.bw, grid.bh)
+            children = self.comparator.children_state(grid.bw, grid.bh)
+            eval_batch = zeroing.make_eval_420c(
+                np.asarray(subs[0]), np.asarray(subs[1]), y16,
+                *children, lookahead)
+
+        out_idx, out_err, num = zeroing.compute_zeroing_order_with(
+            blocks, orig,
             np.float32(self.comparator.block_error_limit()),
-            xyb0_tiles, scales, ysel, xsel,
-            lookahead=self.params.zeroing_greedy_lookahead,
+            eval_batch, comp_mask,
+            lookahead=lookahead,
             new_model=self.params.new_zeroing_model)
         out_idx = np.asarray(out_idx)
         out_err = np.asarray(out_err)
@@ -274,8 +315,10 @@ class Processor:
                                   offsets, cand_idx, cand_err):
         ncomp = len(jpg.components)
         width, height = img.width, img.height
-        factor = 1
-        bw, bh = img.bw, img.bh
+        last_c = comp_mask.bit_length() - 1
+        grid = img.comps[last_c]
+        factor = grid.factor_x
+        bw, bh = grid.bw, grid.bh
         nb = bw * bh
 
         jpg_out = img.save_to_jpeg_data(jpg)
@@ -387,23 +430,24 @@ class Processor:
                                        + min(direction, 0)])
                     c = idx // 64
                     k = idx % 64
-                    quant_c = img.quant[c]
-                    block_ix = b
+                    quant_c = img.comps[c].quant
+                    jcomp = jpg.components[c]
+                    jpg_block_ix = ((b // bw) * jcomp.width_in_blocks
+                                    + (b % bw))
                     if direction > 0:
                         newval = 0
                     else:
                         newval = int(st.quantize(
-                            int(jpg.components[c].coeffs[block_ix, k])
-                            * int(jpg.quant[
-                                jpg.components[c].quant_idx].values[k]),
+                            int(jcomp.coeffs[jpg_block_ix, k])
+                            * int(jpg.quant[jcomp.quant_idx].values[k]),
                             int(quant_c[k])))
-                    block = img.coeffs[c, block_ix].copy()
+                    block = img.comps[c].coeffs[b].copy()
                     hg.update_ac_histogram(-1, block, quant_c,
                                            ac_histograms[c])
                     block[k] = newval
                     hg.update_ac_histogram(1, block, quant_c,
                                            ac_histograms[c])
-                    img.coeffs[c, block_ix] = block
+                    img.comps[c].coeffs[b] = block
                     last_indexes[b] += direction
                     changed_blocks.add(b)
                     val_threshold = val
@@ -477,20 +521,28 @@ class Processor:
                         or (self.params.try_420
                             and not _is_grayscale(jpg_in))) else 0
         force_420 = 1 if (input_is_420 or self.params.force_420) else 0
-        if try_420:
-            raise NotImplementedError(
-                "YUV420 output path not yet implemented")
-        for _downsample in range(force_420, try_420 + 1):
+        for downsample in range(force_420, try_420 + 1):
             jpg = _copy_jpeg(jpg_in)
             st.remove_original_quantization(jpg)
             img = st.CoeffImage.from_jpeg(jpg)
+            if downsample:
+                if img.comps[1].factor_x == 1 and \
+                        img.comps[1].factor_y == 1:
+                    img.downsample(
+                        use_silver_screen=self.params.use_silver_screen)
+                jpg = img.save_to_jpeg_data(jpg)
             best_q = q_in.copy()
-            if not self.select_quant_matrix(jpg, False, best_q, img):
+            if not self.select_quant_matrix(jpg, downsample != 0, best_q,
+                                            img):
                 best_q[:] = 1
-            img2 = st.CoeffImage.from_jpeg(jpg)
-            img.coeffs, img.quant = img2.coeffs, img2.quant
+            img.comps = st.CoeffImage.from_jpeg(jpg).comps
             img.apply_global_quantization(best_q)
-            self.select_frequency_masking(jpg, img, 7, 1.0, False)
+            if not downsample:
+                self.select_frequency_masking(jpg, img, 7, 1.0, False)
+            else:
+                ymul = 1.0 if len(jpg.components) == 1 else 0.97
+                self.select_frequency_masking(jpg, img, 1, ymul, False)
+                self.select_frequency_masking(jpg, img, 6, 1.0, True)
         return True
 
 
@@ -520,11 +572,21 @@ def decode_jpeg_to_rgb(jpg: jd.JpegData):
     or None for unsupported colorspaces/samplings."""
     from guetzli_tpu.codec import reader
     from guetzli_tpu.ops import image as img_ops
-    if len(jpg.components) == 3 and reader.has_ycbcr_colorspace(jpg) \
-            and jpg.is_444():
+    if len(jpg.components) != 3 or not reader.has_ycbcr_colorspace(jpg):
+        return None
+    if jpg.is_444():
         img = st.CoeffImage.from_jpeg(jpg)
         srgb = np.asarray(img_ops.coeffs_to_srgb(
             img.coeffs, img.bw, img.bh, img.width, img.height))
+        return srgb.transpose(1, 2, 0).astype(np.uint8)
+    if jpg.is_420():
+        img = st.CoeffImage.from_jpeg(jpg)
+        y, u, v = img.comps
+        import jax.numpy as jnp
+        srgb = np.asarray(img_ops.coeffs420_to_srgb(
+            jnp.asarray(y.coeffs), jnp.asarray(u.coeffs),
+            jnp.asarray(v.coeffs), y.bw, y.bh, u.bw, u.bh,
+            img.width, img.height))
         return srgb.transpose(1, 2, 0).astype(np.uint8)
     return None
 

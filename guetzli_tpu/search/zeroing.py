@@ -55,19 +55,67 @@ def candidate_scores(blocks, orig_blocks, comp_mask, new_model=True):
     return jnp.where(valid, score, jnp.inf).reshape(nb, K)
 
 
-@partial(jax.jit, static_argnames=("comp_mask", "lookahead", "new_model",
-                                   "early_exit"))
-def compute_zeroing_order(blocks, orig_blocks, comp_mask, limit,
-                          xyb0_tiles, scales, ysel, xsel,
-                          lookahead=3, new_model=True, early_exit=False):
+def make_eval_444(xyb0_tiles, scales, ysel, xsel, lookahead):
+    """Candidate evaluator for the YUV444 pass: every candidate tile is
+    fully reconstructible from its own 3x64 coefficients."""
+    ysel_l = jnp.repeat(ysel, lookahead, axis=0)
+    xsel_l = jnp.repeat(xsel, lookahead, axis=0)
+    xyb0_l = jnp.repeat(xyb0_tiles, lookahead, axis=0)
+    scales_l = jnp.repeat(scales, lookahead, axis=0)
+
+    def eval_batch(cand):
+        lin = tile_ops.tiles_to_linear_rgb(cand, xsel_l, ysel_l)
+        return tile_ops.compare_blocks(xyb0_l, lin, scales_l)
+
+    return eval_batch
+
+
+def make_eval_420y(chroma_bytes, xyb0_tiles, scales, ysel, xsel, lookahead):
+    """Candidate evaluator for the 420 Y pass: frozen upsampled chroma."""
+    rep = lambda a: jnp.repeat(jnp.asarray(a), lookahead, axis=0)
+    chroma_l = rep(chroma_bytes)
+    xyb0_l = rep(xyb0_tiles)
+    scales_l = rep(scales)
+    ysel_l = rep(ysel)
+    xsel_l = rep(xsel)
+
+    def eval_batch(cand):
+        return tile_ops.compare_blocks_420y(
+            cand[:, 0], chroma_l, xyb0_l, scales_l, ysel_l, xsel_l)
+
+    return eval_batch
+
+
+def make_eval_420c(neigh_u, neigh_v, y16, xyb0_sub, scales_sub, ysel_sub,
+                   xsel_sub, valid_sub, lookahead):
+    """Candidate evaluator for the 420 chroma pass: 16x16 macroblock
+    reconstruction with frozen neighbor borders."""
+    rep = lambda a: jnp.repeat(jnp.asarray(a), lookahead, axis=0)
+    args = tuple(rep(a) for a in (neigh_u, neigh_v, y16, xyb0_sub,
+                                  scales_sub, ysel_sub, xsel_sub,
+                                  valid_sub))
+
+    def eval_batch(cand):
+        return tile_ops.compare_blocks_420c(
+            cand[:, 1], cand[:, 2], *args)
+
+    return eval_batch
+
+
+@partial(jax.jit, static_argnames=("eval_batch", "comp_mask", "lookahead",
+                                   "new_model", "early_exit"))
+def compute_zeroing_order_with(blocks, orig_blocks, limit, eval_batch,
+                               comp_mask, lookahead=3, new_model=True,
+                               early_exit=False):
     """Greedy zeroing order for all blocks simultaneously.
 
     Args:
       blocks:      [NB, 3, 64] int32 current dequantized coefficients.
       orig_blocks: [NB, 3, 64] int32 original dequantized coefficients.
-      comp_mask:   channel bitmask (7 for YUV444, 1 for Y, 6 for UV).
       limit:       comparator block error limit (target distance).
-      xyb0_tiles, scales, ysel, xsel: Comparator.block_state() outputs.
+      eval_batch:  callable [NB*lookahead, 3, 64] -> [NB*lookahead] errors
+        (hashable/static; closes over the pass's frozen device state).
+      comp_mask:   channel bitmask (7 for YUV444, 1 for Y, 6 for UV).
       early_exit:  stop a block once its best error reaches the limit (the
         reference `--c` fast path, processor.cc:458-465); the default full
         semantics match MODE_CPU.
@@ -81,11 +129,6 @@ def compute_zeroing_order(blocks, orig_blocks, comp_mask, limit,
     order0 = jnp.argsort(scores, axis=1).astype(jnp.int32)     # [NB, K]
     n_cand = jnp.sum(jnp.isfinite(scores), axis=1).astype(jnp.int32)
 
-    ysel_l = jnp.repeat(ysel, lookahead, axis=0)
-    xsel_l = jnp.repeat(xsel, lookahead, axis=0)
-    xyb0_l = jnp.repeat(xyb0_tiles, lookahead, axis=0)
-    scales_l = jnp.repeat(scales, lookahead, axis=0)
-
     def body(state):
         processed, order, n_remaining, out_idx, out_err, t = state
         active = n_remaining > 0
@@ -96,9 +139,7 @@ def compute_zeroing_order(blocks, orig_blocks, comp_mask, limit,
         cand = (flat[:, None, :]
                 * (1 - jax.nn.one_hot(idxs, K, dtype=jnp.int32)))
         cand = cand.reshape(nb * lookahead, 3, 64)
-        lin = tile_ops.tiles_to_linear_rgb(cand, xsel_l, ysel_l)
-        errs = tile_ops.compare_blocks(xyb0_l, lin, scales_l)
-        errs = errs.reshape(nb, lookahead)
+        errs = eval_batch(cand).reshape(nb, lookahead)
         l_valid = jnp.arange(lookahead)[None, :] < n_remaining[:, None]
         errs = jnp.where(l_valid, errs, jnp.inf)
 

@@ -1,0 +1,57 @@
+"""End-to-end YUV420 tests: JPEG 420 input and forced chroma downsampling."""
+
+import io
+
+import numpy as np
+import pytest
+
+from tests.conftest import FIXTURES
+
+from guetzli_tpu import consts
+from guetzli_tpu.search.processor import (Params, ProcessStats,
+                                          process_jpeg_bytes, process_rgb)
+
+# Reference encoder (CPU build of /root/reference) on the same 420 input
+# (PIL quality=90 subsampling=2 of the bees96x64 crop): 1559 bytes,
+# final distance 0.9541.
+REF_420_SIZE = 1559
+
+
+@pytest.fixture(scope="module")
+def jpeg420():
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.open(FIXTURES / "bees96x64.png").save(
+        buf, format="JPEG", quality=90, subsampling=2)
+    return buf.getvalue()
+
+
+def test_e2e_420_jpeg_input(jpeg420):
+    params = Params()
+    params.butteraugli_target = consts.butteraugli_score_for_quality(95)
+    out = process_jpeg_bytes(params, jpeg420, ProcessStats())
+    assert out is not None
+
+    from PIL import Image
+    im = Image.open(io.BytesIO(out))
+    im.load()
+    assert im.size == (96, 64)
+    assert abs(len(out) - REF_420_SIZE) <= 0.04 * REF_420_SIZE, len(out)
+
+
+def test_force_420_from_png():
+    """PNG input with force_420: exercises the chroma pre-process +
+    downsample + both 420 masking passes."""
+    from guetzli_tpu.io.png import read_png
+    with open(FIXTURES / "bees96x64.png", "rb") as f:
+        rgb, w, h = read_png(f.read())
+    params = Params(force_420=True)
+    params.butteraugli_target = consts.butteraugli_score_for_quality(95)
+    out = process_rgb(params, rgb, w, h, ProcessStats())
+
+    from PIL import Image
+    im = Image.open(io.BytesIO(out))
+    im.load()
+    assert im.size == (96, 64)
+    # 420 output must be smaller than the 444 output for the same target.
+    assert len(out) < 2450
