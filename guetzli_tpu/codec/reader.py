@@ -418,6 +418,9 @@ def _process_sos(data, pos, jpg, dc_tables, ac_tables, scan_progression):
                 comp_idx = i
         if comp_idx is None:
             raise JpegError("scan references unknown component")
+        if (table >> 4) >= K_MAX_HUFFMAN_TABLES or \
+                (table & 0xF) >= K_MAX_HUFFMAN_TABLES:
+            raise JpegError("bad Huffman table index in scan")
         scan.components.append(jd.ScanComponentInfo(
             comp_idx=comp_idx, dc_tbl_idx=table >> 4,
             ac_tbl_idx=table & 0xF))
@@ -456,9 +459,81 @@ def _process_sos(data, pos, jpg, dc_tables, ac_tables, scan_progression):
                         is_progressive)
 
 
+def _decode_scan_native(data, pos, jpg, scan, dc_tables, ac_tables,
+                        is_progressive):
+    """C++ fast path for the scan decode; None if unavailable."""
+    import ctypes
+
+    from guetzli_tpu import native
+    lib = native.get_lib()
+    if lib is None:
+        return None
+    if is_progressive:
+        ss, se, ah, al = scan.Ss, scan.Se, scan.Ah, scan.Al
+    else:
+        ss, se, ah, al = 0, 63, 0, 0
+    n = len(scan.components)
+    dc_counts = np.zeros((4, 17), dtype=np.int32)
+    dc_values = np.zeros((4, 256), dtype=np.int32)
+    ac_counts = np.zeros((4, 17), dtype=np.int32)
+    ac_values = np.zeros((4, 256), dtype=np.int32)
+    dc_present = ac_present = 0
+    for idx, t in dc_tables.items():
+        dc_counts[idx] = t.counts
+        dc_values[idx, :len(t.values)] = t.values
+        dc_present |= 1 << idx
+    for idx, t in ac_tables.items():
+        ac_counts[idx] = t.counts
+        ac_values[idx, :len(t.values)] = t.values
+        ac_present |= 1 << idx
+
+    dc_tbl = (ctypes.c_int * n)()
+    ac_tbl = (ctypes.c_int * n)()
+    wib = (ctypes.c_int * n)()
+    hib = (ctypes.c_int * n)()
+    hsamp = (ctypes.c_int * n)()
+    vsamp = (ctypes.c_int * n)()
+    ptrs = (ctypes.POINTER(ctypes.c_int16) * n)()
+    bufs = []
+    for i, si in enumerate(scan.components):
+        comp = jpg.components[si.comp_idx]
+        dc_tbl[i] = si.dc_tbl_idx
+        ac_tbl[i] = si.ac_tbl_idx
+        wib[i] = comp.width_in_blocks
+        hib[i] = comp.height_in_blocks
+        hsamp[i] = comp.h_samp_factor
+        vsamp[i] = comp.v_samp_factor
+        buf = np.ascontiguousarray(comp.coeffs, dtype=np.int16)
+        bufs.append((si.comp_idx, buf))
+        ptrs[i] = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+    arr = np.frombuffer(data, dtype=np.uint8)
+    res = lib.gt_decode_scan(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(len(data)), ctypes.c_int64(pos),
+        ctypes.c_int(n), None, dc_tbl, ac_tbl, wib, hib, hsamp, vsamp,
+        ptrs, ctypes.c_int(jpg.MCU_rows), ctypes.c_int(jpg.MCU_cols),
+        ctypes.c_int(jpg.restart_interval),
+        ctypes.c_int(ss), ctypes.c_int(se), ctypes.c_int(ah),
+        ctypes.c_int(al),
+        dc_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dc_values.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ac_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ac_values.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int(dc_present), ctypes.c_int(ac_present))
+    if res < 0:
+        raise JpegError("scan decode failed (native code %d)" % res)
+    for comp_idx, buf in bufs:
+        jpg.components[comp_idx].coeffs = buf
+    return int(res)
+
+
 def _decode_scan(data, pos, jpg, scan, dc_tables, ac_tables,
                  is_progressive):
     """The MCU/Huffman-decode loop (ProcessScan, jpeg_data_reader.cc:755)."""
+    res = _decode_scan_native(data, pos, jpg, scan, dc_tables, ac_tables,
+                              is_progressive)
+    if res is not None:
+        return res
     if is_progressive:
         ss, se, ah, al = scan.Ss, scan.Se, scan.Ah, scan.Al
     else:
@@ -489,10 +564,19 @@ def _decode_scan(data, pos, jpg, scan, dc_tables, ac_tables,
         if ah == 0:
             dc = dc_tables.get(si.dc_tbl_idx)
             ac = ac_tables.get(si.ac_tbl_idx)
+            # The DC table is unused for Ss>0 AC scans and the AC table for
+            # pure-DC scans; only demand what the scan actually reads
+            # (jpeg_data_reader.cc:841-849 indexes the LUT lazily).
+            if ss == 0 and dc is None:
+                raise JpegError("scan references undefined DC table")
+            if se > 0 and ss <= se and ac is None:
+                raise JpegError("scan references undefined AC table")
             _decode_dct_block(dc, ac, ss, se, al, eobrun, br,
                               last_dc, scan.components.index(si), coeffs)
         else:
             ac = ac_tables.get(si.ac_tbl_idx)
+            if se > 0 and ac is None:
+                raise JpegError("scan references undefined AC table")
             _refine_dct_block(ac, ss, se, al, eobrun, br, coeffs)
 
     for my in range(mcu_rows):

@@ -252,6 +252,53 @@ def _pack_bits(tok_bits, tok_vals):
     return data.tobytes()
 
 
+def _encode_scan_native(jpg, dc_tables, ac_tables):
+    """Serialize the scan via the C++ kernel; None if unavailable."""
+    import ctypes
+
+    from guetzli_tpu import native
+    lib = native.get_lib()
+    if lib is None:
+        return None
+    ncomp = len(jpg.components)
+    coeff_arrays = []
+    ptrs = (ctypes.POINTER(ctypes.c_int16) * ncomp)()
+    wib = (ctypes.c_int * ncomp)()
+    hib = (ctypes.c_int * ncomp)()
+    hs = (ctypes.c_int * ncomp)()
+    vs = (ctypes.c_int * ncomp)()
+    dc_depth = np.zeros((ncomp, 257), dtype=np.uint8)
+    dc_code = np.zeros((ncomp, 257), dtype=np.int32)
+    ac_depth = np.zeros((ncomp, 257), dtype=np.uint8)
+    ac_code = np.zeros((ncomp, 257), dtype=np.int32)
+    total_blocks = 0
+    for i, comp in enumerate(jpg.components):
+        arr = np.ascontiguousarray(comp.coeffs, dtype=np.int16)
+        coeff_arrays.append(arr)
+        ptrs[i] = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+        wib[i] = comp.width_in_blocks
+        hib[i] = comp.height_in_blocks
+        hs[i] = comp.h_samp_factor
+        vs[i] = comp.v_samp_factor
+        dc_depth[i], dc_code[i] = dc_tables[i]
+        ac_depth[i], ac_code[i] = ac_tables[i]
+        total_blocks += arr.shape[0]
+    cap = total_blocks * 64 * 4 + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.gt_encode_scan(
+        ptrs, wib, hib, hs, vs, ctypes.c_int(ncomp),
+        ctypes.c_int(jpg.MCU_rows), ctypes.c_int(jpg.MCU_cols),
+        dc_depth.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        dc_code.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ac_depth.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ac_code.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(cap))
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
 def write_jpeg(jpg, strip_metadata=True) -> bytes:
     """Serialize JpegData to bytes (jpeg_data_writer.cc:540-553)."""
     out = bytearray(b'\xff\xd8')
@@ -260,8 +307,11 @@ def write_jpeg(jpg, strip_metadata=True) -> bytes:
     out += _encode_sof(jpg)
     header, dc_tables, ac_tables = _build_and_encode_huffman_codes(jpg)
     out += header
-    tok_bits, tok_vals = _scan_tokens(jpg, dc_tables, ac_tables)
-    out += _pack_bits(tok_bits, tok_vals)
+    scan = _encode_scan_native(jpg, dc_tables, ac_tables)
+    if scan is None:
+        tok_bits, tok_vals = _scan_tokens(jpg, dc_tables, ac_tables)
+        scan = _pack_bits(tok_bits, tok_vals)
+    out += scan
     out += b'\xff\xd9'
     if not strip_metadata:
         out += jpg.tail_data

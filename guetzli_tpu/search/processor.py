@@ -16,6 +16,7 @@ evaluation inside it is a single jitted device call:
 import sys
 from dataclasses import dataclass, field
 
+import jax.numpy as jnp
 import numpy as np
 
 from guetzli_tpu import consts
@@ -248,20 +249,15 @@ class Processor:
                 * jpg.quant[jcomp.quant_idx].values[None, :]
 
         if img.is_444():
-            xyb0_tiles, scales, ysel, xsel = self.comparator.block_state(
-                1, 1)
-            eval_batch = zeroing.make_eval_444(
-                xyb0_tiles, scales, ysel, xsel, lookahead)
+            mode = "444"
+            aux = self.comparator.block_state(1, 1)
         elif comp_mask == 1:
-            xyb0_tiles, scales, ysel, xsel = self.comparator.block_state(
-                1, 1)
+            mode = "420y"
             chroma_bytes = self.comparator.frozen_chroma_blocks(img)
-            eval_batch = zeroing.make_eval_420y(
-                chroma_bytes, xyb0_tiles, scales, ysel, xsel, lookahead)
+            aux = (chroma_bytes,) + self.comparator.block_state(1, 1)
         else:
             from guetzli_tpu.ops import upsample as us
             from guetzli_tpu.ops import image as img_ops
-            import jax.numpy as jnp
             w, h = img.width, img.height
             ws, hs = (w + 1) // 2, (h + 1) // 2
             subs = []
@@ -274,14 +270,14 @@ class Processor:
                 subs.append(us.neighborhoods_10x10(sub, comp.bw, comp.bh))
             y16 = self.comparator.frozen_y_16x16(img, grid.bw, grid.bh)
             children = self.comparator.children_state(grid.bw, grid.bh)
-            eval_batch = zeroing.make_eval_420c(
-                np.asarray(subs[0]), np.asarray(subs[1]), y16,
-                *children, lookahead)
+            mode = "420c"
+            aux = (jnp.asarray(np.asarray(subs[0])),
+                   jnp.asarray(np.asarray(subs[1])), y16) + children
 
         out_idx, out_err, num = zeroing.compute_zeroing_order_with(
             blocks, orig,
             np.float32(self.comparator.block_error_limit()),
-            eval_batch, comp_mask,
+            tuple(jnp.asarray(a) for a in aux), mode, comp_mask,
             lookahead=lookahead,
             new_model=self.params.new_zeroing_model)
         out_idx = np.asarray(out_idx)

@@ -55,56 +55,29 @@ def candidate_scores(blocks, orig_blocks, comp_mask, new_model=True):
     return jnp.where(valid, score, jnp.inf).reshape(nb, K)
 
 
-def make_eval_444(xyb0_tiles, scales, ysel, xsel, lookahead):
-    """Candidate evaluator for the YUV444 pass: every candidate tile is
-    fully reconstructible from its own 3x64 coefficients."""
-    ysel_l = jnp.repeat(ysel, lookahead, axis=0)
-    xsel_l = jnp.repeat(xsel, lookahead, axis=0)
-    xyb0_l = jnp.repeat(xyb0_tiles, lookahead, axis=0)
-    scales_l = jnp.repeat(scales, lookahead, axis=0)
-
-    def eval_batch(cand):
-        lin = tile_ops.tiles_to_linear_rgb(cand, xsel_l, ysel_l)
-        return tile_ops.compare_blocks(xyb0_l, lin, scales_l)
-
-    return eval_batch
-
-
-def make_eval_420y(chroma_bytes, xyb0_tiles, scales, ysel, xsel, lookahead):
-    """Candidate evaluator for the 420 Y pass: frozen upsampled chroma."""
-    rep = lambda a: jnp.repeat(jnp.asarray(a), lookahead, axis=0)
-    chroma_l = rep(chroma_bytes)
-    xyb0_l = rep(xyb0_tiles)
-    scales_l = rep(scales)
-    ysel_l = rep(ysel)
-    xsel_l = rep(xsel)
-
-    def eval_batch(cand):
+def _eval_dispatch(mode, cand, aux, lookahead):
+    """Evaluate candidate tiles [NB*L, 3, 64] under the pass's frozen
+    state `aux` (a tuple of device arrays, traced -- not baked constants).
+    `mode` is static: '444', '420y', or '420c'."""
+    rep = lambda a: jnp.repeat(a, lookahead, axis=0)
+    if mode == "444":
+        xyb0_tiles, scales, ysel, xsel = aux
+        lin = tile_ops.tiles_to_linear_rgb(cand, rep(xsel), rep(ysel))
+        return tile_ops.compare_blocks(rep(xyb0_tiles), lin, rep(scales))
+    if mode == "420y":
+        chroma_bytes, xyb0_tiles, scales, ysel, xsel = aux
         return tile_ops.compare_blocks_420y(
-            cand[:, 0], chroma_l, xyb0_l, scales_l, ysel_l, xsel_l)
-
-    return eval_batch
-
-
-def make_eval_420c(neigh_u, neigh_v, y16, xyb0_sub, scales_sub, ysel_sub,
-                   xsel_sub, valid_sub, lookahead):
-    """Candidate evaluator for the 420 chroma pass: 16x16 macroblock
-    reconstruction with frozen neighbor borders."""
-    rep = lambda a: jnp.repeat(jnp.asarray(a), lookahead, axis=0)
-    args = tuple(rep(a) for a in (neigh_u, neigh_v, y16, xyb0_sub,
-                                  scales_sub, ysel_sub, xsel_sub,
-                                  valid_sub))
-
-    def eval_batch(cand):
+            cand[:, 0], rep(chroma_bytes), rep(xyb0_tiles), rep(scales),
+            rep(ysel), rep(xsel))
+    if mode == "420c":
         return tile_ops.compare_blocks_420c(
-            cand[:, 1], cand[:, 2], *args)
+            cand[:, 1], cand[:, 2], *(rep(a) for a in aux))
+    raise ValueError(mode)
 
-    return eval_batch
 
-
-@partial(jax.jit, static_argnames=("eval_batch", "comp_mask", "lookahead",
+@partial(jax.jit, static_argnames=("mode", "comp_mask", "lookahead",
                                    "new_model", "early_exit"))
-def compute_zeroing_order_with(blocks, orig_blocks, limit, eval_batch,
+def compute_zeroing_order_with(blocks, orig_blocks, limit, aux, mode,
                                comp_mask, lookahead=3, new_model=True,
                                early_exit=False):
     """Greedy zeroing order for all blocks simultaneously.
@@ -113,8 +86,10 @@ def compute_zeroing_order_with(blocks, orig_blocks, limit, eval_batch,
       blocks:      [NB, 3, 64] int32 current dequantized coefficients.
       orig_blocks: [NB, 3, 64] int32 original dequantized coefficients.
       limit:       comparator block error limit (target distance).
-      eval_batch:  callable [NB*lookahead, 3, 64] -> [NB*lookahead] errors
-        (hashable/static; closes over the pass's frozen device state).
+      aux:         tuple of device arrays with the pass's frozen state (see
+        _eval_dispatch); passed as arguments so recompilation only depends
+        on geometry, not values.
+      mode:        static evaluator selector: '444', '420y', '420c'.
       comp_mask:   channel bitmask (7 for YUV444, 1 for Y, 6 for UV).
       early_exit:  stop a block once its best error reaches the limit (the
         reference `--c` fast path, processor.cc:458-465); the default full
@@ -125,6 +100,9 @@ def compute_zeroing_order_with(blocks, orig_blocks, limit, eval_batch,
       num     [NB] int32 entries below the error limit (candidate counts).
     """
     nb = blocks.shape[0]
+
+    def eval_batch(cand):
+        return _eval_dispatch(mode, cand, aux, lookahead)
     scores = candidate_scores(blocks, orig_blocks, comp_mask, new_model)
     order0 = jnp.argsort(scores, axis=1).astype(jnp.int32)     # [NB, K]
     n_cand = jnp.sum(jnp.isfinite(scores), axis=1).astype(jnp.int32)

@@ -90,3 +90,20 @@ def test_reject_garbage():
         reader.read_jpeg(b"not a jpeg")
     with pytest.raises(reader.JpegError):
         reader.read_jpeg(b"\xff\xd8\xff\xc0\x00\x05trunc")
+
+
+def test_native_python_decode_parity(rgb96x64):
+    """The C++ scan decoder must produce identical coefficients to the
+    Python one (the checkcl dual-execution pattern)."""
+    from guetzli_tpu import native
+    for subsampling, progressive in [(0, False), (2, True)]:
+        data = _pil_jpeg(rgb96x64, subsampling, progressive=progressive)
+        jpg_native = reader.read_jpeg(data)
+        real = native.get_lib
+        native.get_lib = lambda: None
+        try:
+            jpg_python = reader.read_jpeg(data)
+        finally:
+            native.get_lib = real
+        for cn, cp in zip(jpg_native.components, jpg_python.components):
+            np.testing.assert_array_equal(cn.coeffs, cp.coeffs)
