@@ -25,6 +25,8 @@ REF_DISTANCE = 0.9717
 
 def main():
     import jax
+    from guetzli_tpu.runtime import configure
+    configure()
     from guetzli_tpu import consts
     from guetzli_tpu.io.png import read_png
     from guetzli_tpu.search.processor import (Params, ProcessStats,

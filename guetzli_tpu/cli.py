@@ -31,6 +31,8 @@ K_DEFAULT_QUALITY = 95
 
 
 def main(argv=None) -> int:
+    from guetzli_tpu.runtime import configure
+    configure()
     argv = list(sys.argv[1:] if argv is None else argv)
     verbose = False
     quality = K_DEFAULT_QUALITY
@@ -52,6 +54,13 @@ def main(argv=None) -> int:
         elif flag in ("--c", "--opencl", "--cuda", "--checkcl",
                       "--checkcuda"):
             pass  # backend modes: everything runs on the XLA backend
+        elif flag == "--profile":
+            # gperftools analog (guetzli.cc:32-34): dump an XLA/TPU trace.
+            opt_idx += 1
+            import jax
+            jax.profiler.start_trace(argv[opt_idx])
+            import atexit
+            atexit.register(jax.profiler.stop_trace)
         else:
             sys.stderr.write(_USAGE)
             return 1

@@ -70,6 +70,90 @@ def _chroma_byte_planes(u_coeffs, v_coeffs, bw, bh, w, h):
         img_ops.chroma_byte_plane(v_coeffs, bw, bh, w, h)])
 
 
+def _pool_max(x, wy, wx):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (wy, wx), (wy, wx),
+        padding=[(0, 0), (0, 0)])
+
+
+def _dilate_max(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (3, 3), (1, 1),
+        padding=[(1, 1), (1, 1)])
+
+
+def _weights_all_radii_impl(distmap, target, sizex, sizey, bw, bh,
+                            direction_pos):
+    """ComputeBlockErrorAdjustmentWeights for all rblock radii 1..4 on
+    device (butteraugli_comparator.cc:169-233) -> [4, bw*bh] float32.
+
+    Keeps the distmap device-resident: the back-end loop pulls only these
+    small per-block weights instead of the full-resolution distmap."""
+    h, w = distmap.shape
+    pad = jnp.zeros((bh * sizey, bw * sizex), distmap.dtype)
+    pad = pad.at[:h, :w].set(distmap)
+    max_dist = _pool_max(pad, sizey, sizex)              # [bh, bw]
+
+    weights = []
+    local = max_dist
+    if direction_pos:
+        for _ in range(4):
+            local = _dilate_max(local)
+            ml = jnp.maximum(local, target)
+            w_r = ((max_dist <= target)
+                   & (ml <= 1.1 * target)).astype(jnp.float32)
+            weights.append(w_r)
+    else:
+        for r in range(1, 5):
+            local = _dilate_max(local)
+            ml = jnp.maximum(local, target)
+            src = max_dist > (0.5 * target + 0.5 * ml)
+            w_r = jnp.zeros_like(max_dist)
+            reach = src
+            for d in range(r + 1):
+                w_r = jnp.maximum(
+                    w_r, jnp.where(reach, jnp.float32(1.0 / (d + 1)), 0.0))
+                if d < r:
+                    p = jnp.pad(reach, 1)
+                    reach = (p[0:-2, 0:-2] | p[0:-2, 1:-1] | p[0:-2, 2:]
+                             | p[1:-1, 0:-2] | p[1:-1, 1:-1] | p[1:-1, 2:]
+                             | p[2:, 0:-2] | p[2:, 1:-1] | p[2:, 2:])
+            weights.append(w_r)
+    return jnp.stack(weights).reshape(4, bw * bh)
+
+
+_weights_all_radii = jax.jit(
+    _weights_all_radii_impl,
+    static_argnames=("sizex", "sizey", "bw", "bh", "direction_pos"))
+
+
+@partial(jax.jit, static_argnames=("bw", "bh", "w", "h", "sizex", "sizey",
+                                   "gbw", "gbh", "direction_pos"))
+def _compare_weights_444(coeffs, xyb0, target, bw, bh, w, h,
+                         sizex, sizey, gbw, gbh, direction_pos):
+    lin = img_ops.coeffs_to_linear_rgb(coeffs, bw, bh, w, h)
+    xyb1 = opsin_dynamics_image(lin)
+    dmap = dm.diffmap_opsin_dynamics(xyb0, xyb1)
+    w4 = _weights_all_radii_impl(
+        dmap, target, sizex, sizey, gbw, gbh, direction_pos)
+    return dm.score_from_diffmap(dmap), dmap, w4
+
+
+@partial(jax.jit, static_argnames=("ybw", "ybh", "cbw", "cbh", "w", "h",
+                                   "sizex", "sizey", "gbw", "gbh",
+                                   "direction_pos"))
+def _compare_weights_420(y_coeffs, u_coeffs, v_coeffs, xyb0, target,
+                         ybw, ybh, cbw, cbh, w, h,
+                         sizex, sizey, gbw, gbh, direction_pos):
+    srgb = img_ops.coeffs420_to_srgb(y_coeffs, u_coeffs, v_coeffs,
+                                     ybw, ybh, cbw, cbh, w, h)
+    xyb1 = opsin_dynamics_image(img_ops.srgb_to_linear(srgb))
+    dmap = dm.diffmap_opsin_dynamics(xyb0, xyb1)
+    w4 = _weights_all_radii_impl(
+        dmap, target, sizex, sizey, gbw, gbh, direction_pos)
+    return dm.score_from_diffmap(dmap), dmap, w4
+
+
 @partial(jax.jit, static_argnames=("bw", "bh", "w", "h"))
 def _y_byte_plane(y_coeffs, bw, bh, w, h):
     pix = img_ops.blocks_to_plane(
@@ -244,6 +328,47 @@ class Comparator:
                                     ysel, xsel)
 
     # -- block error adjustment weights ---------------------------------
+
+    def weights_all_radii(self, direction, target_mul, factor_x, factor_y):
+        """[4, NB] weights for rblock radii 1..4 from the device-resident
+        distmap of the last compare (single small pull)."""
+        sizex, sizey = 8 * factor_x, 8 * factor_y
+        bw = (self.width + sizex - 1) // sizex
+        bh = (self.height + sizey - 1) // sizey
+        out = _weights_all_radii(
+            self.distmap, jnp.float32(self.target_distance * target_mul),
+            sizex=sizex, sizey=sizey, bw=bw, bh=bh,
+            direction_pos=direction > 0)
+        return np.asarray(out)
+
+    def compare_img_with_weights(self, img, direction, target_mul,
+                                 factor_x, factor_y):
+        """Fused compare + next-iteration block weights: one device
+        dispatch, one pull of (score, [4, NB]) — the back-end loop's
+        per-iteration device interaction."""
+        sizex, sizey = 8 * factor_x, 8 * factor_y
+        gbw = (self.width + sizex - 1) // sizex
+        gbh = (self.height + sizey - 1) // sizey
+        tgt = jnp.float32(self.target_distance * target_mul)
+        if img.is_444():
+            score, dmap, w4 = _compare_weights_444(
+                jnp.asarray(img.coeffs), self.xyb0, tgt,
+                bw=img.bw, bh=img.bh, w=self.width, h=self.height,
+                sizex=sizex, sizey=sizey, gbw=gbw, gbh=gbh,
+                direction_pos=direction > 0)
+        else:
+            y, u, v = img.comps
+            score, dmap, w4 = _compare_weights_420(
+                jnp.asarray(y.coeffs), jnp.asarray(u.coeffs),
+                jnp.asarray(v.coeffs), self.xyb0, tgt,
+                ybw=y.bw, ybh=y.bh, cbw=u.bw, cbh=u.bh,
+                w=self.width, h=self.height,
+                sizex=sizex, sizey=sizey, gbw=gbw, gbh=gbh,
+                direction_pos=direction > 0)
+        score_np, w4_np = jax.device_get((score, w4))
+        self.distance = float(score_np)
+        self.distmap = dmap
+        return self.distance, np.asarray(w4_np)
 
     def compute_block_error_adjustment_weights(
             self, direction, max_block_dist, target_mul, factor_x, factor_y,

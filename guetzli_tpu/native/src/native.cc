@@ -428,3 +428,236 @@ int64_t gt_decode_scan(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Back-end coefficient flip loop (processor.cc:854-889) with the entropy
+// machinery it drives: incremental AC histograms (:491-515), histogram
+// clustering + length-limited Huffman codes (jpeg_data_writer.cc:295-342,
+// entropy_encode.cc), and entropy-size estimation (:211-232).
+// ---------------------------------------------------------------------
+
+#include <algorithm>
+#include <vector>
+
+namespace {
+
+constexpr int kHSize = 257;
+
+int64_t histogram_header_cost(const int64_t* h) {
+  int64_t bits = 17 * 8;
+  for (int i = 0; i + 1 < kHSize; ++i)
+    if (h[i] > 0) bits += 8;
+  return bits;
+}
+
+int64_t histogram_entropy_cost(const int64_t* h, const uint8_t* depths) {
+  int64_t bits = 0;
+  for (int i = 0; i + 1 < kHSize; ++i)
+    bits += (h[i] / 2) * (depths[i] + (i & 0xf));
+  bits += (bits * 3 + 512) >> 10;
+  return bits;
+}
+
+// Exact port of codec/huffman.py create_huffman_tree (two-queue Huffman
+// with (count asc, symbol desc) leaf order and doubling count floor).
+void create_huffman_tree(const int64_t* counts, int length, int tree_limit,
+                         uint8_t* depth) {
+  memset(depth, 0, length);
+  int64_t count_limit = 1;
+  for (;;) {
+    struct Leaf { int64_t cnt; int sym; };
+    std::vector<Leaf> leaves;
+    for (int s = length - 1; s >= 0; --s)
+      if (counts[s]) leaves.push_back({std::max(counts[s], count_limit), s});
+    int n = (int)leaves.size();
+    if (n == 0) return;
+    if (n == 1) { depth[leaves[0].sym] = 1; return; }
+    std::stable_sort(leaves.begin(), leaves.end(),
+                     [](const Leaf& a, const Leaf& b) {
+                       return a.cnt != b.cnt ? a.cnt < b.cnt
+                                             : a.sym > b.sym;
+                     });
+    // Two-queue merge; picks reference leaves by index, internals by index.
+    struct Node { int64_t cnt; int kind0, idx0, kind1, idx1; };
+    std::vector<Node> internal;
+    internal.reserve(n);
+    int i = 0, j = 0;
+    for (int m = 0; m < n - 1; ++m) {
+      int kinds[2], idxs[2];
+      int64_t c = 0;
+      for (int p = 0; p < 2; ++p) {
+        int64_t ic = i < n ? leaves[i].cnt : INT64_MAX;
+        int64_t jc = j < (int)internal.size() ? internal[j].cnt : INT64_MAX;
+        if (ic <= jc) { kinds[p] = 0; idxs[p] = i; c += leaves[i].cnt; i++; }
+        else { kinds[p] = 1; idxs[p] = j; c += internal[j].cnt; j++; }
+      }
+      internal.push_back({c, kinds[0], idxs[0], kinds[1], idxs[1]});
+    }
+    bool ok = true;
+    std::vector<std::pair<int, int>> stack;  // (node, level)
+    stack.push_back({(int)internal.size() - 1, 0});
+    while (!stack.empty()) {
+      auto [node, level] = stack.back();
+      stack.pop_back();
+      if (level + 1 > tree_limit) { ok = false; break; }
+      const Node& nd = internal[node];
+      if (nd.kind0 == 0) depth[leaves[nd.idx0].sym] = (uint8_t)(level + 1);
+      else stack.push_back({nd.idx0, level + 1});
+      if (nd.kind1 == 0) depth[leaves[nd.idx1].sym] = (uint8_t)(level + 1);
+      else stack.push_back({nd.idx1, level + 1});
+    }
+    if (ok) return;
+    count_limit *= 2;
+  }
+}
+
+// codec/histograms.py cluster_histograms / compute_entropy_codes: returns
+// the header size (bytes); fills per-input depths [ncomp][257].
+int64_t compute_entropy_codes(const int64_t* histos, int ncomp,
+                              uint8_t* out_depths) {
+  std::vector<int64_t> h(histos, histos + ncomp * kHSize);
+  std::vector<uint8_t> depths(ncomp * kHSize, 0);
+  std::vector<int64_t> costs(ncomp);
+  std::vector<int> indexes(ncomp);
+  for (int i = 0; i < ncomp; ++i) {
+    indexes[i] = i;
+    create_huffman_tree(&h[i * kHSize], kHSize, 16, &depths[i * kHSize]);
+    costs[i] = histogram_header_cost(&h[i * kHSize]) +
+               histogram_entropy_cost(&h[i * kHSize], &depths[i * kHSize]);
+  }
+  int num = ncomp;
+  while (num > 1) {
+    int last = num - 1, second = num - 2;
+    std::vector<int64_t> combined(h.begin() + second * kHSize,
+                                  h.begin() + (second + 1) * kHSize);
+    for (int i = 0; i + 1 < kHSize; ++i) combined[i] += h[last * kHSize + i];
+    combined[kHSize - 1] = 1;
+    uint8_t d[kHSize];
+    create_huffman_tree(combined.data(), kHSize, 16, d);
+    int64_t cost = histogram_header_cost(combined.data()) +
+                   histogram_entropy_cost(combined.data(), d);
+    if (cost < costs[last] + costs[second]) {
+      memcpy(&h[second * kHSize], combined.data(),
+             kHSize * sizeof(int64_t));
+      memset(&h[last * kHSize], 0, kHSize * sizeof(int64_t));
+      h[last * kHSize + kHSize - 1] = 1;
+      costs[second] = cost;
+      memcpy(&depths[second * kHSize], d, kHSize);
+      for (int i = 0; i < ncomp; ++i)
+        if (indexes[i] == last) indexes[i] = second;
+      num--;
+    } else {
+      break;
+    }
+  }
+  int64_t hdr = 0;
+  for (int i = 0; i < num; ++i)
+    hdr += histogram_header_cost(&h[i * kHSize]) / 8;
+  for (int i = 0; i < ncomp; ++i)
+    memcpy(out_depths + i * kHSize, &depths[indexes[i] * kHSize], kHSize);
+  return hdr;
+}
+
+int64_t entropy_coded_data_size(const int64_t* histos,
+                                const uint8_t* depths, int ncomp) {
+  int64_t bits = 0;
+  for (int i = 0; i < ncomp; ++i)
+    bits += histogram_entropy_cost(histos + i * kHSize,
+                                   depths + i * kHSize);
+  return (bits + 7) / 8;
+}
+
+// processor.cc:491-515 on dequantized coefficients.
+void update_ac_histogram(int weight, const int32_t* coeffs64,
+                         const int32_t* quant64, int64_t* hist) {
+  int r = 0;
+  int w2 = 2 * weight;
+  for (int k = 1; k < 64; ++k) {
+    int knat = kNat[k];
+    int32_t coeff = coeffs64[knat];
+    if (coeff == 0) { r++; continue; }
+    while (r > 15) { hist[0xf0] += w2; r -= 16; }
+    int v = std::abs(coeff / quant64[knat]);
+    int nbits = log2_floor_nonzero((uint32_t)v) + 1;
+    hist[(r << 4) + nbits] += w2;
+    r = 0;
+  }
+  if (r > 0) hist[0] += w2;
+}
+
+inline int32_t quantize_val(int32_t raw, int32_t quant) {
+  int r = raw % quant;
+  int32_t delta = 2 * r > quant ? quant - r
+                 : (-2) * r > quant ? -quant - r : -r;
+  return raw + delta;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Run the per-iteration flip loop (processor.cc:854-889). Mutates
+// comp_coeffs / last_indexes / ac_histograms / ac_depths in place.
+// Returns est_jpg_size; outputs via pointers.
+int64_t gt_backend_flips(
+    int32_t* const* comp_coeffs, const int32_t* quant,
+    const int16_t* const* jpg_coeffs, const int32_t* jpg_quant,
+    const int* jpg_wib, int grid_bw,
+    const int64_t* offsets, const int32_t* cand_idx, const float* cand_err,
+    int64_t ncand_total, int64_t* last_indexes,
+    const int32_t* order_blocks, const float* order_vals, int64_t order_n,
+    int direction, int64_t min_coeffs_to_change, double min_size_delta,
+    int64_t prev_size, int64_t jpg_header_size, int64_t dc_size,
+    int64_t* ac_histograms, uint8_t* ac_depths,
+    int64_t* ac_histogram_size, int ncomp, int64_t nb,
+    int64_t* out_changed_coeffs, double* out_val_threshold,
+    int64_t* out_changed_blocks) {
+  std::vector<uint8_t> changed(nb, 0);
+  int64_t changed_blocks = 0;
+  int64_t changed_coeffs = 0;
+  double val_threshold = 0.0;
+  int64_t est = prev_size;
+  for (int64_t i = 0; i < order_n; ++i) {
+    int64_t b = order_blocks[i];
+    int64_t last_idx = last_indexes[b];
+    int64_t off = std::max<int64_t>(
+        0, std::min<int64_t>(offsets[b], ncand_total - 1));
+    int idx = cand_idx[off + last_idx + std::min(direction, 0)];
+    int c = idx / 64;
+    int k = idx % 64;
+    const int32_t* qc = quant + c * 64;
+    int64_t jpg_block_ix = (b / grid_bw) * jpg_wib[c] + (b % grid_bw);
+    int32_t newval;
+    if (direction > 0) {
+      newval = 0;
+    } else {
+      int32_t raw = (int32_t)jpg_coeffs[c][jpg_block_ix * 64 + k] *
+                    jpg_quant[c * 64 + k];
+      newval = quantize_val(raw, qc[k]);
+    }
+    int32_t* block = comp_coeffs[c] + b * 64;
+    update_ac_histogram(-1, block, qc, ac_histograms + c * kHSize);
+    block[k] = newval;
+    update_ac_histogram(1, block, qc, ac_histograms + c * kHSize);
+    last_indexes[b] += direction;
+    if (!changed[b]) { changed[b] = 1; changed_blocks++; }
+    val_threshold = order_vals[i];
+    changed_coeffs++;
+    if (i % 10 == 0) {
+      *ac_histogram_size =
+          compute_entropy_codes(ac_histograms, ncomp, ac_depths);
+    }
+    est = jpg_header_size + dc_size + *ac_histogram_size +
+          entropy_coded_data_size(ac_histograms, ac_depths, ncomp);
+    if (changed_coeffs > min_coeffs_to_change &&
+        std::llabs(est - prev_size) > (int64_t)min_size_delta) {
+      break;
+    }
+  }
+  *out_changed_coeffs = changed_coeffs;
+  *out_val_threshold = val_threshold;
+  *out_changed_blocks = changed_blocks;
+  return est;
+}
+
+}  // extern "C"

@@ -1,0 +1,23 @@
+"""Runtime configuration: XLA compilation cache + profiling hooks.
+
+The reference JIT-compiles its OpenCL program / loads PTX at startup
+(ocl.cpp:26-43, ocu.cpp:41-54) and caches nothing; XLA compiles of the
+diffmap + zeroing programs take minutes for a new image geometry, so the
+persistent compilation cache is enabled process-wide (second runs of any
+geometry start hot).
+"""
+
+import os
+
+
+def configure(cache_dir=None):
+    """Enable the persistent XLA compilation cache. Call before first jit."""
+    import jax
+    cache_dir = cache_dir or os.path.expanduser("~/.cache/guetzli_tpu_xla")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # cache is an optimization; never fail startup on it

@@ -274,15 +274,12 @@ class Processor:
             aux = (jnp.asarray(np.asarray(subs[0])),
                    jnp.asarray(np.asarray(subs[1])), y16) + children
 
-        out_idx, out_err, num = zeroing.compute_zeroing_order_with(
+        out_idx, out_err, num = zeroing.compute_zeroing_order_staged(
             blocks, orig,
             np.float32(self.comparator.block_error_limit()),
             tuple(jnp.asarray(a) for a in aux), mode, comp_mask,
             lookahead=lookahead,
             new_model=self.params.new_zeroing_model)
-        out_idx = np.asarray(out_idx)
-        out_err = np.asarray(out_err)
-        num = np.asarray(num)
 
         # CSR candidate arrays (processor.cc:694-716).
         offsets = np.zeros(nb + 1, dtype=np.int64)
@@ -332,6 +329,7 @@ class Processor:
         max_block_error = np.zeros(nb, dtype=np.float32)
         last_indexes = np.zeros(nb, dtype=np.int64)
         first_up_iter = True
+        cached_weights = None
         limit = self.comparator.block_error_limit()
 
         for direction in (1, -1):
@@ -350,14 +348,18 @@ class Processor:
                 clamped_off = np.clip(offsets[:nb], 0,
                                       max(ncand_total - 1, 0))
                 num_candidates = offsets[1:] - clamped_off
+                if first_up_iter:
+                    # Zero distmap: direction is +1 and every block's max
+                    # distance is 0 <= target, so all weights are 1.
+                    weights4 = np.ones((4, nb), dtype=np.float32)
+                elif cached_weights is not None and \
+                        cached_weights[0] == direction:
+                    weights4 = cached_weights[1]
+                else:
+                    weights4 = self.comparator.weights_all_radii(
+                        direction, target_mul, factor, factor)
                 for rblock in range(1, 5):
-                    distmap = (np.zeros((height, width), dtype=np.float32)
-                               if first_up_iter
-                               else np.asarray(self.comparator.distmap))
-                    block_weight = \
-                        self.comparator.compute_block_error_adjustment_weights(
-                            direction, rblock, target_mul, factor, factor,
-                            distmap)
+                    block_weight = weights4[rblock - 1]
                     active = block_weight > 0
                     if direction > 0:
                         counts = np.where(
@@ -391,8 +393,6 @@ class Processor:
                 sort_ix = np.argsort(order_vals, kind="stable")
                 order_blocks = order_blocks[sort_ix]
                 order_vals = order_vals[sort_ix]
-                global_order = list(zip(order_blocks.tolist(),
-                                        order_vals.tolist()))
 
                 rel_size_delta = 0.01 if direction > 0 else 0.0005
                 if direction > 0 and self.comparator.distance_ok(1.0):
@@ -404,61 +404,33 @@ class Processor:
                     coeffs_to_change_per_block * blocks_to_change)
 
                 if first_up_iter:
-                    thr = 0.75 * limit
-                    cnt = 0
-                    for _, val in global_order:
-                        if val < thr:
-                            cnt += 1
-                        else:
-                            break
+                    # partition_point on the sorted values (:840-848).
+                    cnt = int(np.searchsorted(order_vals,
+                                              np.float32(0.75 * limit),
+                                              side="left"))
                     min_coeffs_to_change = max(min_coeffs_to_change, cnt)
                     first_up_iter = False
 
-                changed_blocks = set()
-                val_threshold = 0.0
-                changed_coeffs = 0
-                est_jpg_size = prev_size
-                ncand_total = len(cand_idx)
-                for i, (b, val) in enumerate(global_order):
-                    last_idx = int(last_indexes[b])
-                    offset = max(0, min(int(offsets[b]), ncand_total - 1))
-                    idx = int(cand_idx[offset + last_idx
-                                       + min(direction, 0)])
-                    c = idx // 64
-                    k = idx % 64
-                    quant_c = img.comps[c].quant
-                    jcomp = jpg.components[c]
-                    jpg_block_ix = ((b // bw) * jcomp.width_in_blocks
-                                    + (b % bw))
-                    if direction > 0:
-                        newval = 0
-                    else:
-                        newval = int(st.quantize(
-                            int(jcomp.coeffs[jpg_block_ix, k])
-                            * int(jpg.quant[jcomp.quant_idx].values[k]),
-                            int(quant_c[k])))
-                    block = img.comps[c].coeffs[b].copy()
-                    hg.update_ac_histogram(-1, block, quant_c,
-                                           ac_histograms[c])
-                    block[k] = newval
-                    hg.update_ac_histogram(1, block, quant_c,
-                                           ac_histograms[c])
-                    img.comps[c].coeffs[b] = block
-                    last_indexes[b] += direction
-                    changed_blocks.add(b)
-                    val_threshold = val
-                    changed_coeffs += 1
-                    if i % 10 == 0:
-                        ac_depths, ac_histogram_size = \
-                            hg.compute_entropy_codes(ac_histograms)
-                    est_jpg_size = (
-                        jpg_header_size + dc_size + ac_histogram_size
-                        + hg.entropy_coded_data_size(ac_histograms,
-                                                     ac_depths))
-                    if (changed_coeffs > min_coeffs_to_change
-                            and abs(est_jpg_size - prev_size)
-                            > min_size_delta):
-                        break
+                flips = self._run_flips_native(
+                    img, jpg, bw, offsets, cand_idx, cand_err,
+                    last_indexes, order_blocks, order_vals, direction,
+                    min_coeffs_to_change, min_size_delta, prev_size,
+                    jpg_header_size, dc_size, ac_histograms, ac_depths,
+                    ac_histogram_size, nb)
+                if flips is not None:
+                    (est_jpg_size, changed_coeffs, val_threshold,
+                     n_changed_blocks, ac_depths,
+                     ac_histogram_size) = flips
+                else:
+                    (est_jpg_size, changed_coeffs, val_threshold,
+                     n_changed_blocks, ac_depths, ac_histogram_size) = \
+                        self._run_flips_python(
+                            img, jpg, bw, offsets, cand_idx, cand_err,
+                            last_indexes, order_blocks, order_vals,
+                            direction, min_coeffs_to_change,
+                            min_size_delta, prev_size, jpg_header_size,
+                            dc_size, ac_histograms, ac_depths,
+                            ac_histogram_size)
 
                 max_block_error += (np.asarray(block_weight)
                                     * val_threshold * direction)
@@ -473,12 +445,144 @@ class Processor:
                     "ValThres[%.4f] Out[%7d] EstErr[%.2f%%]",
                     self.stats.counters["iters"], comp_mask,
                     "up" if direction > 0 else "down", changed_coeffs,
-                    len(global_order), len(changed_blocks),
+                    len(order_blocks), n_changed_blocks,
                     blocks_to_change, nb, val_threshold, len(encoded),
                     100.0 - (100.0 * est_jpg_size) / len(encoded))
-                self._compare(img)
+                d, w4 = self.comparator.compare_img_with_weights(
+                    img, direction, target_mul, factor, factor)
+                cached_weights = (direction, w4)
+                self.stats.log(" BA[100.00%%] D[%6.4f]", d)
                 self.maybe_output(encoded)
                 prev_size = est_jpg_size
+
+    def _run_flips_native(self, img, jpg, bw, offsets, cand_idx, cand_err,
+                          last_indexes, order_blocks, order_vals,
+                          direction, min_coeffs_to_change, min_size_delta,
+                          prev_size, jpg_header_size, dc_size,
+                          ac_histograms, ac_depths, ac_histogram_size, nb):
+        """C++ flip loop (native.cc gt_backend_flips); None if no lib."""
+        import ctypes
+
+        from guetzli_tpu import native
+        lib = native.get_lib()
+        if lib is None:
+            return None
+        ncomp = len(ac_histograms)
+        coeff_ptrs = (ctypes.POINTER(ctypes.c_int32) * 3)()
+        jpg_ptrs = (ctypes.POINTER(ctypes.c_int16) * 3)()
+        jpg_wib = (ctypes.c_int * 3)()
+        quant = np.ascontiguousarray(img.quant, dtype=np.int32)
+        jpg_quant = np.stack([
+            jpg.quant[c.quant_idx].values.astype(np.int32)
+            for c in jpg.components] + [np.zeros(64, np.int32)] * (
+                3 - len(jpg.components)))
+        jpg_bufs = []
+        for c in range(3):
+            comp = img.comps[c]
+            comp.coeffs = np.ascontiguousarray(comp.coeffs, dtype=np.int32)
+            coeff_ptrs[c] = comp.coeffs.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int32))
+            if c < len(jpg.components):
+                buf = np.ascontiguousarray(jpg.components[c].coeffs,
+                                           dtype=np.int16)
+                jpg_bufs.append(buf)
+                jpg_ptrs[c] = buf.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int16))
+                jpg_wib[c] = jpg.components[c].width_in_blocks
+        histo = np.ascontiguousarray(np.stack(ac_histograms),
+                                     dtype=np.int64)
+        depths = np.ascontiguousarray(ac_depths, dtype=np.uint8)
+        if depths.shape[0] < ncomp:
+            depths = np.zeros((ncomp, 257), dtype=np.uint8)
+        hist_size = ctypes.c_int64(int(ac_histogram_size))
+        out_coeffs = ctypes.c_int64(0)
+        out_thresh = ctypes.c_double(0.0)
+        out_blocks = ctypes.c_int64(0)
+        offsets64 = np.ascontiguousarray(offsets, dtype=np.int64)
+        li = np.ascontiguousarray(last_indexes, dtype=np.int64)
+        ob = np.ascontiguousarray(order_blocks, dtype=np.int32)
+        ov = np.ascontiguousarray(order_vals, dtype=np.float32)
+        ci = np.ascontiguousarray(cand_idx, dtype=np.int32)
+        ce = np.ascontiguousarray(cand_err, dtype=np.float32)
+        est = lib.gt_backend_flips(
+            coeff_ptrs, quant.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int32)),
+            jpg_ptrs, jpg_quant.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int32)),
+            jpg_wib, ctypes.c_int(bw),
+            offsets64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ci.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ce.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int64(len(ci)),
+            li.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ob.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ov.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int64(len(ob)), ctypes.c_int(direction),
+            ctypes.c_int64(int(min_coeffs_to_change)),
+            ctypes.c_double(float(min_size_delta)),
+            ctypes.c_int64(int(prev_size)),
+            ctypes.c_int64(int(jpg_header_size)),
+            ctypes.c_int64(int(dc_size)),
+            histo.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            depths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.byref(hist_size), ctypes.c_int(ncomp),
+            ctypes.c_int64(nb),
+            ctypes.byref(out_coeffs), ctypes.byref(out_thresh),
+            ctypes.byref(out_blocks))
+        last_indexes[:] = li
+        for c in range(ncomp):
+            ac_histograms[c][:] = histo[c]
+        return (int(est), int(out_coeffs.value), float(out_thresh.value),
+                int(out_blocks.value), depths, int(hist_size.value))
+
+    def _run_flips_python(self, img, jpg, bw, offsets, cand_idx, cand_err,
+                          last_indexes, order_blocks, order_vals,
+                          direction, min_coeffs_to_change, min_size_delta,
+                          prev_size, jpg_header_size, dc_size,
+                          ac_histograms, ac_depths, ac_histogram_size):
+        """Pure-Python flip loop (processor.cc:854-889)."""
+        changed_blocks = set()
+        val_threshold = 0.0
+        changed_coeffs = 0
+        est_jpg_size = prev_size
+        ncand_total = len(cand_idx)
+        for i in range(len(order_blocks)):
+            b = int(order_blocks[i])
+            last_idx = int(last_indexes[b])
+            offset = max(0, min(int(offsets[b]), ncand_total - 1))
+            idx = int(cand_idx[offset + last_idx + min(direction, 0)])
+            c = idx // 64
+            k = idx % 64
+            quant_c = img.comps[c].quant
+            jcomp = jpg.components[c]
+            jpg_block_ix = (b // bw) * jcomp.width_in_blocks + (b % bw)
+            if direction > 0:
+                newval = 0
+            else:
+                newval = int(st.quantize(
+                    int(jcomp.coeffs[jpg_block_ix, k])
+                    * int(jpg.quant[jcomp.quant_idx].values[k]),
+                    int(quant_c[k])))
+            block = img.comps[c].coeffs[b].copy()
+            hg.update_ac_histogram(-1, block, quant_c, ac_histograms[c])
+            block[k] = newval
+            hg.update_ac_histogram(1, block, quant_c, ac_histograms[c])
+            img.comps[c].coeffs[b] = block
+            last_indexes[b] += direction
+            changed_blocks.add(b)
+            val_threshold = float(order_vals[i])
+            changed_coeffs += 1
+            if i % 10 == 0:
+                ac_depths, ac_histogram_size = \
+                    hg.compute_entropy_codes(ac_histograms)
+            est_jpg_size = (jpg_header_size + dc_size + ac_histogram_size
+                            + hg.entropy_coded_data_size(ac_histograms,
+                                                         ac_depths))
+            if (changed_coeffs > min_coeffs_to_change
+                    and abs(est_jpg_size - prev_size) > min_size_delta):
+                break
+        return (est_jpg_size, changed_coeffs, val_threshold,
+                len(changed_blocks), ac_depths, ac_histogram_size)
 
     # -- top-level (processor.cc:931-1020) ----------------------------
 

@@ -76,6 +76,152 @@ def _eval_dispatch(mode, cand, aux, lookahead):
 
 
 @partial(jax.jit, static_argnames=("mode", "comp_mask", "lookahead",
+                                   "early_exit"))
+def _zeroing_stage(state, limit, aux, mode, comp_mask, lookahead,
+                   early_exit, max_t):
+    """Advance the greedy loop until iteration `max_t` (or all done).
+
+    `state` = (processed [S,3,64], order [S,K], n_remaining [S],
+    out_idx [S,K], out_err [S,K], t); see compute_zeroing_order_with.
+    """
+    nb = state[0].shape[0]
+
+    def eval_batch(cand):
+        return _eval_dispatch(mode, cand, aux, lookahead)
+
+    def body(state):
+        processed, order, n_remaining, out_idx, out_err, t = state
+        active = n_remaining > 0
+        flat = processed.reshape(nb, K)
+
+        idxs = order[:, :lookahead]                            # [S, L]
+        cand = (flat[:, None, :]
+                * (1 - jax.nn.one_hot(idxs, K, dtype=jnp.int32)))
+        cand = cand.reshape(nb * lookahead, 3, 64)
+        errs = eval_batch(cand).reshape(nb, lookahead)
+        l_valid = jnp.arange(lookahead)[None, :] < n_remaining[:, None]
+        errs = jnp.where(l_valid, errs, jnp.inf)
+
+        best_l = jnp.argmin(errs, axis=1).astype(jnp.int32)
+        best_err = jnp.min(errs, axis=1)
+        best_idx = jnp.take_along_axis(order, best_l[:, None],
+                                       axis=1)[:, 0]
+
+        zero_mask = jax.nn.one_hot(best_idx, K, dtype=jnp.int32)
+        new_flat = jnp.where(active[:, None], flat * (1 - zero_mask), flat)
+
+        j = jnp.arange(K, dtype=jnp.int32)[None, :]
+        src = jnp.minimum(j + (j >= best_l[:, None]), K - 1)
+        new_order = jnp.where(active[:, None],
+                              jnp.take_along_axis(order, src, axis=1),
+                              order)
+
+        out_idx = out_idx.at[:, t].set(jnp.where(active, best_idx, 0))
+        out_err = out_err.at[:, t].set(jnp.where(active, best_err,
+                                                 jnp.inf))
+
+        if early_exit:
+            stop = active & (best_err >= limit)
+        else:
+            stop = jnp.zeros_like(active)
+        new_remaining = jnp.where(stop, 0,
+                                  n_remaining - active.astype(jnp.int32))
+        return (new_flat.reshape(nb, 3, 64), new_order, new_remaining,
+                out_idx, out_err, t + 1)
+
+    def cond(state):
+        _, _, n_remaining, _, _, t = state
+        return jnp.logical_and(jnp.any(n_remaining > 0), t < max_t)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def compute_zeroing_order_staged(blocks, orig_blocks, limit, aux, mode,
+                                 comp_mask, lookahead=3, new_model=True,
+                                 early_exit=False):
+    """Staged-compaction driver for the greedy zeroing loop.
+
+    Blocks finish after as many iterations as they have candidates; a
+    single while_loop over all blocks would spend its long tail doing
+    full-batch work for a handful of stragglers. Instead blocks are sorted
+    by candidate count (host side, from the same validity rule the kernel
+    uses), the loop runs on progressively smaller prefixes, and each stage
+    halves the batch: total device work tracks the area under the sorted
+    candidate-count curve instead of NB * max_count.
+
+    Same results as the single-loop version, host-reassembled into the
+    original block order. Returns (out_idx, out_err_monotonic, num).
+    """
+    nb = blocks.shape[0]
+    chan_ok = np.array([(comp_mask >> c) & 1 for c in range(3)], bool)
+    valid = (np.asarray(blocks) != 0) & chan_ok[None, :, None]
+    valid[:, :, 0] = False
+    n_cand_host = valid.reshape(nb, K).sum(axis=1).astype(np.int64)
+    perm = np.argsort(-n_cand_host, kind="stable")
+    inv_perm = np.argsort(perm)
+    sorted_counts = n_cand_host[perm]
+
+    blocks_p = jnp.asarray(np.asarray(blocks)[perm])
+    orig_p = jnp.asarray(np.asarray(orig_blocks)[perm])
+    aux_p = tuple(jnp.asarray(np.asarray(a)[perm]) for a in aux)
+
+    scores = candidate_scores(blocks_p, orig_p, comp_mask, new_model)
+    order0 = jnp.argsort(scores, axis=1).astype(jnp.int32)
+    n_cand = jnp.sum(jnp.isfinite(scores), axis=1).astype(jnp.int32)
+
+    state = (blocks_p.astype(jnp.int32), order0, n_cand,
+             jnp.zeros((nb, K), jnp.int32),
+             jnp.full((nb, K), jnp.inf, jnp.float32),
+             jnp.int32(0))
+
+    out_idx_np = np.zeros((nb, K), dtype=np.int32)
+    out_err_np = np.full((nb, K), np.inf, dtype=np.float32)
+    size = nb
+    t_done = 0
+    total = int(sorted_counts[0]) if nb else 0
+    while size > 0 and t_done < total:
+        # Next stage boundary: half the current prefix (at least 1 block).
+        nxt = max(1, size // 2)
+        max_t = int(sorted_counts[nxt]) if nxt < size else total
+        if max_t <= t_done or nxt == size:
+            max_t = total
+        state = _zeroing_stage(state, limit, aux_p, mode, comp_mask,
+                               lookahead, early_exit,
+                               max_t=jnp.int32(max_t))
+        t_done = max_t
+        if t_done >= total:
+            break
+        # Shrink to the blocks that can still have work, rounded up to a
+        # power of two so stage shapes (and their compiled executables)
+        # repeat across images and passes.
+        new_size = int(np.searchsorted(-sorted_counts, -t_done,
+                                       side="left"))
+        new_size = max(new_size, 1)
+        new_size = 1 << (new_size - 1).bit_length()
+        if new_size < size:
+            # Blocks outside the new prefix are finished: bank their rows.
+            oi, oe = np.asarray(state[3]), np.asarray(state[4])
+            out_idx_np[new_size:size] = oi[new_size:size]
+            out_err_np[new_size:size] = oe[new_size:size]
+            state = tuple(x[:new_size] if hasattr(x, "shape")
+                          and x.ndim > 0 else x for x in state[:5]) \
+                + (state[5],)
+            aux_p = tuple(a[:new_size] for a in aux_p)
+            size = new_size
+
+    oi, oe = np.asarray(state[3]), np.asarray(state[4])
+    out_idx_np[:size] = oi[:size]
+    out_err_np[:size] = oe[:size]
+
+    # Unpermute, monotonic suffix-min, cutoff (processor.cc:467-479).
+    out_idx_np = out_idx_np[inv_perm]
+    out_err_np = out_err_np[inv_perm]
+    rev_min = np.minimum.accumulate(out_err_np[:, ::-1], axis=1)[:, ::-1]
+    num = np.sum(rev_min <= limit, axis=1).astype(np.int32)
+    return out_idx_np, rev_min, num
+
+
+@partial(jax.jit, static_argnames=("mode", "comp_mask", "lookahead",
                                    "new_model", "early_exit"))
 def compute_zeroing_order_with(blocks, orig_blocks, limit, aux, mode,
                                comp_mask, lookahead=3, new_model=True,
