@@ -191,6 +191,18 @@ class Comparator:
         self._mask_xyz = None
         self._block_state = {}
 
+    def recover_device_state(self):
+        """Rebuild device-resident state after a TPU worker crash (all
+        device buffers are lost when the worker restarts). Host-side
+        search state lives in numpy, so recovery is just re-uploading the
+        original image's derived tensors."""
+        lut = consts.SRGB_TO_LINEAR.astype(np.float32)
+        lin0 = lut[self.rgb_orig].transpose(2, 0, 1)
+        self.xyb0 = jax.device_put(opsin_dynamics_image(jnp.asarray(lin0)))
+        self.distmap = None
+        self._mask_xyz = None
+        self._block_state = {}
+
     # -- full-image comparison ------------------------------------------
 
     def compare(self, coeffs, bw, bh):
@@ -201,19 +213,28 @@ class Comparator:
         self.distmap = dmap
         return self.distance
 
-    def compare_img(self, img):
-        """Compare a CoeffImage (444 or 420 chroma sampling)."""
+    def dispatch_compare(self, img):
+        """Asynchronously dispatch a full compare of a CoeffImage."""
         if img.is_444():
-            return self.compare(img.coeffs, img.bw, img.bh)
+            return _full_compare(jnp.asarray(img.coeffs), self.xyb0,
+                                 bw=img.bw, bh=img.bh,
+                                 w=self.width, h=self.height)
         y, u, v = img.comps
-        score, dmap = _full_compare_420(
+        return _full_compare_420(
             jnp.asarray(y.coeffs), jnp.asarray(u.coeffs),
             jnp.asarray(v.coeffs), self.xyb0,
             ybw=y.bw, ybh=y.bh, cbw=u.bw, cbh=u.bh,
             w=self.width, h=self.height)
+
+    def fetch_compare_plain(self, handle):
+        score, dmap = handle
         self.distance = float(score)
         self.distmap = dmap
         return self.distance
+
+    def compare_img(self, img):
+        """Compare a CoeffImage (444 or 420 chroma sampling)."""
+        return self.fetch_compare_plain(self.dispatch_compare(img))
 
     # -- 420 per-block evaluation state ---------------------------------
 
@@ -341,11 +362,11 @@ class Comparator:
             direction_pos=direction > 0)
         return np.asarray(out)
 
-    def compare_img_with_weights(self, img, direction, target_mul,
-                                 factor_x, factor_y):
-        """Fused compare + next-iteration block weights: one device
-        dispatch, one pull of (score, [4, NB]) — the back-end loop's
-        per-iteration device interaction."""
+    def dispatch_compare_with_weights(self, img, direction, target_mul,
+                                      factor_x, factor_y):
+        """Asynchronously dispatch the fused compare + next-iteration block
+        weights; returns a handle for fetch_compare(). Lets the caller
+        overlap host-side serialization with the device round trip."""
         sizex, sizey = 8 * factor_x, 8 * factor_y
         gbw = (self.width + sizex - 1) // sizex
         gbh = (self.height + sizey - 1) // sizey
@@ -365,10 +386,22 @@ class Comparator:
                 w=self.width, h=self.height,
                 sizex=sizex, sizey=sizey, gbw=gbw, gbh=gbh,
                 direction_pos=direction > 0)
+        return (score, dmap, w4)
+
+    def fetch_compare(self, handle):
+        """Complete a dispatch_compare_with_weights round trip."""
+        score, dmap, w4 = handle
         score_np, w4_np = jax.device_get((score, w4))
         self.distance = float(score_np)
         self.distmap = dmap
         return self.distance, np.asarray(w4_np)
+
+    def compare_img_with_weights(self, img, direction, target_mul,
+                                 factor_x, factor_y):
+        """Fused compare + next-iteration block weights: one device
+        dispatch, one pull of (score, [4, NB])."""
+        return self.fetch_compare(self.dispatch_compare_with_weights(
+            img, direction, target_mul, factor_x, factor_y))
 
     def compute_block_error_adjustment_weights(
             self, direction, max_block_dist, target_mul, factor_x, factor_y,

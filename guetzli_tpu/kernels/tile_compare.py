@@ -1,0 +1,405 @@
+"""Fused Pallas TPU kernel for the per-block butteraugli compare.
+
+This is the hot inner op of the zeroing search (SURVEY.md §3.2): candidate
+coefficients -> integer IDCT -> sRGB -> linear -> 8x8 opsin ->
+MaskHighIntensityChange -> FFT block diff -> masked error. The XLA version
+(ops/tiles.py) emits ~40 small kernels per evaluation; here the whole
+pipeline runs in VMEM in one pass over a tile batch.
+
+Design notes:
+  * every 8-point contraction (IDCT, opsin blur, DFT) is unrolled into
+    constant-scalar FMAs on [T, ...] vectors -- no tiny matmuls, pure VPU;
+  * the integer IDCT stays in int32 (products reach 2^27, beyond float32
+    mantissa) with the reference's exact rounding shifts;
+  * the piecewise-linear color-difference LUTs collapse to closed forms
+    (they are arithmetic progressions, butteraugli.cc:200-247), and the
+    sRGB->linear LUT is evaluated arithmetically (gamma_correct.cc:23-33);
+    the sRGB power is the one float32-vs-double divergence from the XLA
+    path (~1e-6 relative, far inside the metric's float tolerance);
+  * the per-tile edge replication (ToPixels, output_image.cc:86-97) is a
+    pair of per-tile 0/1 selection matrices instead of a dynamic gather.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from guetzli_tpu import consts
+from guetzli_tpu.ops.blur import blur_matrix
+
+TILE = 256  # tiles per grid step
+
+# -- compile-time constant tables ----------------------------------------
+_IDCT = consts.IDCT_MATRIX.astype(np.int32)              # [y, u]
+_BM = blur_matrix(8, consts.OPSIN_SIGMA, 0.0)            # [8, 8] f32
+_u = np.arange(8)
+_W = np.exp(-2j * np.pi * np.outer(_u, _u) / 8.0)
+_DFT_RE = _W.real.astype(np.float32)
+_DFT_IM = _W.imag.astype(np.float32)
+_CSF = consts.CSF8X8.astype(np.float32)                  # [37]
+_OPSIN_MIX = consts.OPSIN_MIX.astype(np.float32)         # [3, 3]
+_OPSIN_BIAS = consts.OPSIN_BIAS.astype(np.float32)
+_RGB_TO_XYB = consts.RGB_TO_XYB.astype(np.float32)
+_MHIC_RED = consts.MHIC_REDUCTION.astype(np.float32)
+
+# Arithmetic-progression parameters of the piecewise-linear LUTs
+# (butteraugli.cc:200-247): lut[0]=0, lut[1]=off, lut[i]=off+(i-1)*inc.
+_DY_OFF = np.float32(1.4103373714040413)
+_DY_INC = np.float32(0.7084088867024)
+_DX_OFF = np.float32(11.38708334481672)
+_DX_INC = np.float32(14.550189611520716)
+_LFY_INC = np.float32(5.2511644570349185)
+
+
+def _mat8(vec_fn, mat, x, axis):
+    """out[..., i, ...] = sum_j mat[i, j] * x[..., j, ...] along `axis`,
+    unrolled into constant FMAs. x has static 8 extent on `axis`."""
+    parts = []
+    xs = [jax.lax.index_in_dim(x, j, axis, keepdims=False)
+          for j in range(8)]
+    for i in range(8):
+        acc = vec_fn(mat[i][0]) * xs[0]
+        for j in range(1, 8):
+            acc = acc + vec_fn(mat[i][j]) * xs[j]
+        parts.append(acc)
+    return jnp.stack(parts, axis=axis)
+
+
+def _i32(v):
+    return jnp.int32(v)
+
+
+def _f32(v):
+    return jnp.float32(v)
+
+
+def _idct_int(c):
+    """Exact integer IDCT of [T, 3, 8, 8] (u, x) blocks (idct.cc)."""
+    # Column pass: col[y, x] = (sum_u M[y,u] c[u,x] + 1<<10) >> 11
+    col = _mat8(_i32, _IDCT, c, axis=2)
+    col = (col + (1 << 10)) >> 11
+    # Row pass: out[y, x] = (sum_u M[x,u] col[y,u] + 257<<17) >> 18
+    row = _mat8(_i32, _IDCT, col, axis=3)
+    row = (row + (257 << 17)) >> 18
+    return jnp.clip(row, 0, 255)
+
+
+def _srgb_to_linear(v):
+    """Arithmetic form of the 256-entry LUT (gamma_correct.cc:23-33)."""
+    vf = v.astype(jnp.float32)
+    lo = vf * _f32(1.0 / 12.92)
+    hi = _f32(255.0) * ((vf * _f32(1.0 / 255.0) + _f32(0.055))
+                        * _f32(1.0 / 1.055)) ** _f32(2.4)
+    return jnp.where(v < 11, lo, hi)
+
+
+def _pw_linear(off, inc, s):
+    """interpolate() against an arithmetic-progression LUT of 21 entries."""
+    ix = jnp.abs(s)
+    res = jnp.where(
+        ix < 1.0, ix * off,
+        jnp.minimum(off + (ix - 1.0) * inc, off + 19.0 * inc))
+    return jnp.where(s < 0, -res, res)
+
+
+def _pw_linear_zero(inc, s):
+    ix = jnp.abs(s)
+    res = jnp.minimum(ix * inc, 20.0 * inc)
+    return jnp.where(s < 0, -res, res)
+
+
+def _gamma(v):
+    """Rational polynomial gamma via Clenshaw (butteraugli.cc:869-941)."""
+    x01 = (v - _f32(consts.GAMMA_MIN_VALUE)) * _f32(
+        1.0 / (consts.GAMMA_MAX_VALUE - consts.GAMMA_MIN_VALUE))
+    xc = 2.0 * x01 - 1.0
+
+    def clenshaw(coeffs):
+        b1 = jnp.zeros_like(xc)
+        b2 = jnp.zeros_like(xc)
+        for c in coeffs[:0:-1]:
+            t = (xc * b1) * 2.0 - b2 + _f32(c)
+            b2 = b1
+            b1 = t
+        return xc * b1 - b2 + _f32(coeffs[0])
+
+    return clenshaw(consts.GAMMA_P) / clenshaw(consts.GAMMA_Q)
+
+
+def _opsin8x8(rgb):
+    """[T, 3, 8, 8] linear RGB -> XYB opsin (tile-confined blur)."""
+    # blurred = BM @ rgb @ BM^T: out[..., i, l] = sum_{j,k} BM[i,j]
+    # rgb[..., j, k] BM[l, k] -- row contraction uses BM rows on axis 3.
+    blurred = _mat8(_f32, _BM, _mat8(_f32, _BM, rgb, axis=3), axis=2)
+
+    def absorbance(x):
+        out = []
+        for c in range(3):
+            acc = (_f32(_OPSIN_MIX[c][0]) * x[:, 0]
+                   + _f32(_OPSIN_MIX[c][1]) * x[:, 1]
+                   + _f32(_OPSIN_MIX[c][2]) * x[:, 2]
+                   + _f32(_OPSIN_BIAS[c]))
+            out.append(acc)
+        return jnp.stack(out, axis=1)
+
+    pre = absorbance(blurred)
+    sensitivity = _gamma(pre) / pre
+    cur = absorbance(rgb) * sensitivity
+    out = []
+    for c in range(3):
+        acc = (_f32(_RGB_TO_XYB[c][0]) * cur[:, 0]
+               + _f32(_RGB_TO_XYB[c][1]) * cur[:, 1]
+               + _f32(_RGB_TO_XYB[c][2]) * cur[:, 2])
+        out.append(acc)
+    return jnp.stack(out, axis=1)
+
+
+def _shift8(x, dy, dx):
+    """Shift the last two (8, 8) axes with edge clamp masking handled by
+    the caller; out-of-range rows/cols carry garbage from the clamped
+    duplicate (masked before use)."""
+    if dy == -1:
+        x = jnp.concatenate([x[..., 1:, :], x[..., 7:8, :]], axis=-2)
+    elif dy == 1:
+        x = jnp.concatenate([x[..., 0:1, :], x[..., :7, :]], axis=-2)
+    if dx == -1:
+        x = jnp.concatenate([x[..., :, 1:], x[..., :, 7:8]], axis=-1)
+    elif dx == 1:
+        x = jnp.concatenate([x[..., :, 0:1], x[..., :, :7]], axis=-1)
+    return x
+
+
+_COL = np.arange(8, dtype=np.float32)[None, :] * np.ones((8, 1), np.float32)
+_ROW = _COL.T
+
+
+def _mhic(t0, t1):
+    """MaskHighIntensityChange on [T, 3, 8, 8] tiles (butteraugli.cc:791).
+
+    The reference evaluates sqr(shifted - y) only where the neighbor is in
+    the 8x8 tile, taking max over available neighbors with -1 elsewhere.
+    """
+    ave = (t0 + t1) * 0.5
+    y = ave[:, 1]
+    big = _f32(-1.0)
+    row = jax.lax.broadcasted_iota(jnp.float32, (8, 8), 0)
+    col = jax.lax.broadcasted_iota(jnp.float32, (8, 8), 1)
+
+    def sq(dy, dx):
+        # neighbor value at (y+dy, x+dx)
+        sh = y
+        if dy == -1:
+            sh = jnp.concatenate([sh[:, 0:1, :], sh[:, :7, :]], axis=1)
+        elif dy == 1:
+            sh = jnp.concatenate([sh[:, 1:, :], sh[:, 7:8, :]], axis=1)
+        if dx == -1:
+            sh = jnp.concatenate([sh[:, :, 0:1], sh[:, :, :7]], axis=2)
+        elif dx == 1:
+            sh = jnp.concatenate([sh[:, :, 1:], sh[:, :, 7:8]], axis=2)
+        d = sh - y
+        d = d * d
+        if dx == -1:
+            valid = col >= 1.0
+        elif dx == 1:
+            valid = col <= 6.0
+        elif dy == -1:
+            valid = row >= 1.0
+        else:
+            valid = row <= 6.0
+        return jnp.where(valid[None, :, :], d, big)
+
+    sqr_max = jnp.maximum(jnp.maximum(sq(0, -1), sq(0, 1)),
+                          jnp.maximum(sq(-1, 0), sq(1, 0)))
+    chroma_scale = _f32(consts.MHIC_CHROMA_BALANCE) / (
+        y + _f32(consts.MHIC_CHROMA_BALANCE))
+    mix = jnp.stack([
+        chroma_scale * _f32(_MHIC_RED[0]) / (sqr_max + _f32(_MHIC_RED[0])),
+        _f32(_MHIC_RED[1]) / (sqr_max + _f32(_MHIC_RED[1])),
+        chroma_scale * _f32(_MHIC_RED[2]) / (sqr_max + _f32(_MHIC_RED[2])),
+    ], axis=1)
+    return mix * t0 + (1.0 - mix) * ave, mix * t1 + (1.0 - mix) * ave
+
+
+def _fft8_sq(x):
+    """|2-D DFT|^2 of real [T, 8, 8] (y, x) -> [T, 8, 8] laid out
+    [xfreq, yfreq] with the 0.000064 scale (butteraugli.cc:574-597)."""
+    a = jnp.swapaxes(x, -1, -2)                  # [T, x, y]
+    t1r = _mat8(_f32, _DFT_RE, a, axis=1)
+    t1i = _mat8(_f32, _DFT_IM, a, axis=1)
+    gr = _mat8(_f32, _DFT_RE, t1r, axis=2) - _mat8(_f32, _DFT_IM, t1i,
+                                                   axis=2)
+    gi = _mat8(_f32, _DFT_IM, t1r, axis=2) + _mat8(_f32, _DFT_RE, t1i,
+                                                   axis=2)
+    return (gr * gr + gi * gi) * _f32(consts.FFT_GLOBAL_MUL)
+
+
+def _xyb_lf_vals(x, y, z):
+    z2 = z + _f32(consts.XYB_LF_Y_TO_Z) * y
+    vx = x * _f32(consts.XYB_LF_XMUL)
+    vy = _pw_linear_zero(_LFY_INC, y * _f32(consts.XYB_LF_YMUL))
+    vz = z2 * _f32(consts.XYB_LF_ZMUL)
+    return vx, vy, vz
+
+
+def _remove_range(v, rng):
+    return jnp.where((v >= -rng) & (v < rng), 0.0,
+                     jnp.where(v < 0, v + rng, v - rng))
+
+
+_CSF64 = np.zeros(64, dtype=np.float32)
+_CSF64[:37] = _CSF
+_CSF_MASK = np.zeros(64, dtype=np.float32)
+_CSF_MASK[4:37] = 1.0
+
+
+def _block_diff(b0, b1, d):
+    """ButteraugliBlockDiff on [T, 3, 8, 8] (y, x) tiles -> three [T, 3]
+    accumulators (dc, ac, edge_dc). `d` = masked CSF weights [8, 8]."""
+    diff = b0 - b1
+
+    avg = jnp.mean(diff, axis=(-1, -2))          # [T, 3]
+    dcx, dcy, dcz = _xyb_lf_vals(avg[:, 0], avg[:, 1], avg[:, 2])
+    csf0 = _f32(_CSF[0])
+    diff_dc = jnp.stack([dcx * dcx, dcy * dcy, dcz * dcz],
+                        axis=1) * csf0
+
+    edges = jnp.stack([
+        jnp.mean(diff[..., :, 0], axis=-1),
+        jnp.mean(diff[..., 0, :], axis=-1),
+        jnp.mean(diff[..., :, 7], axis=-1),
+        jnp.mean(diff[..., 7, :], axis=-1),
+    ], axis=-1)                                   # [T, 3, 4]
+    ex, ey, ez = _xyb_lf_vals(edges[:, 0], edges[:, 1], edges[:, 2])
+    diff_edge = jnp.stack([
+        jnp.sum(ex * ex, axis=-1), jnp.sum(ey * ey, axis=-1),
+        jnp.sum(ez * ez, axis=-1)], axis=1) * csf0
+
+    bavg = (b0 + b1) * 0.5
+    bhd = (b0 - b1) * 0.5
+    y_avg = _fft8_sq(bavg[:, 1])
+    x_hd = _fft8_sq(bhd[:, 0])
+    y_hd = _fft8_sq(bhd[:, 1])
+    z_hd = _fft8_sq(bhd[:, 2])
+
+    ac_x = jnp.sum(d[None] * x_hd, axis=(-1, -2)) * _f32(
+        consts.BLOCKDIFF_AC_XMUL)
+    ac_z = jnp.sum(d[None] * z_hd, axis=(-1, -2)) * _f32(
+        consts.BLOCKDIFF_AC_ZMUL)
+
+    ya = jnp.sqrt(y_avg)
+    yh = jnp.sqrt(y_hd)
+    rng = _f32(consts.BLOCKDIFF_Y_LIMIT)
+    y0 = _remove_range(ya - yh, rng)
+    y1 = _remove_range(ya + yh, rng)
+    ymul2 = _f32(consts.BLOCKDIFF_AC_YMUL2)
+    valy0 = _pw_linear(_DY_OFF, _DY_INC, y0 * ymul2)
+    valy1 = _pw_linear(_DY_OFF, _DY_INC, y1 * ymul2)
+    valy = _f32(consts.BLOCKDIFF_AC_YMUL) * (valy0 - valy1)
+    ac_y = jnp.sum(d[None] * valy * valy, axis=(-1, -2))
+
+    diff_ac = jnp.stack([ac_x, ac_y, ac_z], axis=1)
+    return diff_dc, diff_ac, diff_edge
+
+
+def _kernel(cand_ref, xyb0_ref, scale_ref, sy_ref, sx_ref, csfd_ref,
+            out_ref):
+    cand = cand_ref[...].reshape(-1, 3, 8, 8)
+    vals = _idct_int(cand)
+    # Edge replication: v2 = Sy @ v @ Sx^T with per-tile 0/1 matrices.
+    sy = sy_ref[...]
+    sx = sx_ref[...]
+    v = vals
+    rows = [None] * 8
+    for i in range(8):
+        acc = sy[:, None, i, 0, None] * v[:, :, 0, :]
+        for j in range(1, 8):
+            acc = acc + sy[:, None, i, j, None] * v[:, :, j, :]
+        rows[i] = acc
+    v = jnp.stack(rows, axis=2)
+    cols = [None] * 8
+    for i in range(8):
+        acc = sx[:, None, None, i, 0] * v[:, :, :, 0]
+        for j in range(1, 8):
+            acc = acc + sx[:, None, None, i, j] * v[:, :, :, j]
+        cols[i] = acc
+    v = jnp.stack(cols, axis=3)                    # [T, 3, 8, 8] bytes
+
+    # YCbCr -> RGB (color_transform.h), integer.
+    yy = v[:, 0]
+    cb = v[:, 1] - 128
+    cr = v[:, 2] - 128
+    r = yy + ((91881 * cr + 32768) >> 16)
+    b = yy + ((116130 * cb + 32768) >> 16)
+    g = yy + (((-46802) * cr + (-22554) * cb + 32768) >> 16)
+    rgb = jnp.clip(jnp.stack([r, g, b], axis=1), 0, 255)
+
+    lin = _srgb_to_linear(rgb)
+    xyb1 = _opsin8x8(lin)
+    m0, m1 = _mhic(xyb0_ref[...], xyb1)
+    dc, ac, edge = _block_diff(m0, m1, csfd_ref[...])
+
+    scale = scale_ref[...]                         # [T, 3]
+    diff = jnp.sum((dc + ac) * scale, axis=1)
+    diff_edge = jnp.sum(edge * scale, axis=1)
+    w = _f32(consts.BLOCK_EDGE_WEIGHT)
+    out_ref[...] = jnp.sqrt((1.0 - w) * diff + w * diff_edge)[None, :]
+
+
+def _selection_matrices(ysel, xsel):
+    """[N, 8] clamped gather indices -> [N, 8, 8] 0/1 selection."""
+    eye = np.arange(8)
+    sy = (np.asarray(ysel)[:, :, None] == eye[None, None, :])
+    sx = (np.asarray(xsel)[:, :, None] == eye[None, None, :])
+    return sy.astype(np.int32), sx.astype(np.int32)
+
+
+def tile_compare_pallas(cand, xyb0_tiles, scales, sy, sx, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _tile_compare_pallas(cand, xyb0_tiles, scales, sy, sx,
+                                interpret)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _tile_compare_pallas(cand, xyb0_tiles, scales, sy, sx,
+                         interpret=False):
+    """Fused per-tile compare.
+
+    Args:
+      cand: [N, 3, 64] int32 dequantized candidate coefficients
+        (N a multiple of TILE; pad with zeros).
+      xyb0_tiles: [N, 3, 8, 8] f32; scales: [N, 3] f32;
+      sy, sx: [N, 8, 8] int32 selection matrices.
+    Returns [N] float32 block errors.
+    """
+    n = cand.shape[0]
+    assert n % TILE == 0, n
+    grid = (n // TILE,)
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE, 3, 64), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 3, 8, 8), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 8, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 8, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n // TILE, TILE), jnp.float32),
+        interpret=interpret,
+    )(cand, xyb0_tiles, scales, sy, sx,
+      jnp.asarray((_CSF64 * _CSF_MASK).reshape(8, 8)))
+    return out.reshape(n)

@@ -61,6 +61,18 @@ class ProcessStats:
         if self.debug:
             sys.stderr.write(fmt % args if args else fmt)
 
+    def log_quant(self, q):
+        """GUETZLI_LOG_QUANT (debug_print.h:37-47): 8 rows of the three
+        channels' quant matrix rows side by side."""
+        if not self.debug:
+            return
+        q = np.asarray(q).reshape(3, 64)
+        for y in range(8):
+            row = "   ".join(
+                " ".join("%2d" % q[c, y * 8 + x] for x in range(8))
+                for c in range(3))
+            sys.stderr.write("  " + row + "\n")
+
 
 def compare_quant_matrices(a, b):
     """processor.cc:168-190 lexicographic dominance compare on [192]."""
@@ -174,8 +186,29 @@ class Processor:
             self.stats.log(" (*)")
         self.stats.log("\n")
 
+    def _recoverable(self, dispatch_fn, fetch_fn, pending=None):
+        """Run a device fetch with TPU-worker-crash recovery: device
+        buffers are rebuilt from host state and the (deterministic)
+        dispatch is replayed."""
+        if pending is None:
+            pending = dispatch_fn()
+        for attempt in range(3):
+            try:
+                return fetch_fn(pending)
+            except Exception as e:
+                if "UNAVAILABLE" not in str(e) or attempt == 2:
+                    raise
+                sys.stderr.write("TPU worker crash during compare; "
+                                 "recovering\n")
+                import time as _time
+                _time.sleep(20)
+                self.comparator.recover_device_state()
+                pending = dispatch_fn()
+
     def _compare(self, img: st.CoeffImage):
-        d = self.comparator.compare_img(img)
+        d = self._recoverable(
+            lambda: self.comparator.dispatch_compare(img),
+            self.comparator.fetch_compare_plain)
         self.stats.log(" BA[100.00%%] D[%6.4f]", d)
         return d
 
@@ -184,13 +217,20 @@ class Processor:
     def try_quant_matrix(self, jpg_in, target_mul, q, img: st.CoeffImage):
         img.comps = st.CoeffImage.from_jpeg(jpg_in).comps
         img.apply_global_quantization(q)
+        pending = self.comparator.dispatch_compare(img)
         jpg_out = img.save_to_jpeg_data(jpg_in)
         encoded = self.output_jpeg(jpg_out)
         self.stats.inc("iters")
-        self.stats.log("Iter %2d: GQ[%5.2f] Out[%7d]",
-                       self.stats.counters["iters"],
+        self.stats.log("Iter %2d: %s quantization matrix:\n",
+                       self.stats.counters["iters"], _frame_type_str(img))
+        self.stats.log_quant(q)
+        self.stats.log("Iter %2d: %s GQ[%5.2f] Out[%7d]",
+                       self.stats.counters["iters"], _frame_type_str(img),
                        quant_matrix_heuristic_score(q), len(encoded))
-        self._compare(img)
+        d = self._recoverable(
+            lambda: self.comparator.dispatch_compare(img),
+            self.comparator.fetch_compare_plain, pending)
+        self.stats.log(" BA[100.00%%] D[%6.4f]", d)
         dist_ok = self.comparator.distance_ok(target_mul)
         self.maybe_output(encoded)
         return dist_ok, len(encoded)
@@ -229,7 +269,6 @@ class Processor:
         grid = img.comps[last_c]
         nb = grid.bw * grid.bh
         lookahead = self.params.zeroing_greedy_lookahead
-        self.comparator.start_block_comparisons()
 
         # Per-block current + original coefficients on the pass's grid;
         # unmasked channels stay zero (processor.cc:645-658).
@@ -248,14 +287,23 @@ class Processor:
                 .astype(np.int32) \
                 * jpg.quant[jcomp.quant_idx].values[None, :]
 
-        if img.is_444():
-            mode = "444"
-            aux = self.comparator.block_state(1, 1)
-        elif comp_mask == 1:
-            mode = "420y"
-            chroma_bytes = self.comparator.frozen_chroma_blocks(img)
-            aux = (chroma_bytes,) + self.comparator.block_state(1, 1)
-        else:
+        def build_aux():
+            import os
+            self.comparator.start_block_comparisons()
+            if img.is_444():
+                xyb0_tiles, scales, ysel, xsel = \
+                    self.comparator.block_state(1, 1)
+                if os.environ.get("GUETZLI_TPU_PALLAS") == "1":
+                    from guetzli_tpu.kernels import tile_compare as tc
+                    sy, sx = tc._selection_matrices(np.asarray(ysel),
+                                                    np.asarray(xsel))
+                    return "444p", (xyb0_tiles, scales, jnp.asarray(sy),
+                                    jnp.asarray(sx))
+                return "444", (xyb0_tiles, scales, ysel, xsel)
+            if comp_mask == 1:
+                chroma_bytes = self.comparator.frozen_chroma_blocks(img)
+                return "420y", (chroma_bytes,) + \
+                    self.comparator.block_state(1, 1)
             from guetzli_tpu.ops import upsample as us
             from guetzli_tpu.ops import image as img_ops
             w, h = img.width, img.height
@@ -270,16 +318,46 @@ class Processor:
                 subs.append(us.neighborhoods_10x10(sub, comp.bw, comp.bh))
             y16 = self.comparator.frozen_y_16x16(img, grid.bw, grid.bh)
             children = self.comparator.children_state(grid.bw, grid.bh)
-            mode = "420c"
-            aux = (jnp.asarray(np.asarray(subs[0])),
-                   jnp.asarray(np.asarray(subs[1])), y16) + children
+            return "420c", (jnp.asarray(np.asarray(subs[0])),
+                            jnp.asarray(np.asarray(subs[1])), y16) \
+                + children
 
-        out_idx, out_err, num = zeroing.compute_zeroing_order_staged(
-            blocks, orig,
-            np.float32(self.comparator.block_error_limit()),
-            tuple(jnp.asarray(a) for a in aux), mode, comp_mask,
-            lookahead=lookahead,
-            new_model=self.params.new_zeroing_model)
+        # The tunneled TPU worker occasionally crashes mid-program; all
+        # device buffers die with it. Search state is host-resident, so
+        # recovery = rebuild device state and redo this (deterministic)
+        # pass -- the framework-level analog of the reference's per-image
+        # fallback output (processor.cc:965-977).
+        import os
+        use_staged = os.environ.get("GUETZLI_TPU_STAGED_ZEROING") == "1"
+        for attempt in range(3):
+            try:
+                mode, aux = build_aux()
+                limit32 = np.float32(self.comparator.block_error_limit())
+                aux_dev = tuple(jnp.asarray(a) for a in aux)
+                if use_staged:
+                    out_idx, out_err, num = \
+                        zeroing.compute_zeroing_order_staged(
+                            blocks, orig, limit32, aux_dev, mode,
+                            comp_mask, lookahead=lookahead,
+                            new_model=self.params.new_zeroing_model)
+                else:
+                    oi, oe, nn = zeroing.compute_zeroing_order_with(
+                        blocks, orig, limit32, aux_dev, mode, comp_mask,
+                        lookahead=lookahead,
+                        new_model=self.params.new_zeroing_model)
+                    out_idx, out_err, num = (np.asarray(oi),
+                                             np.asarray(oe),
+                                             np.asarray(nn))
+                break
+            except Exception as e:
+                if "UNAVAILABLE" not in str(e) or attempt == 2:
+                    raise
+                sys.stderr.write(
+                    "TPU worker crash during zeroing; recovering "
+                    "(attempt %d)\n" % (attempt + 1))
+                import time as _time
+                _time.sleep(20)
+                self.comparator.recover_device_state()
 
         # CSR candidate arrays (processor.cc:694-716).
         offsets = np.zeros(nb + 1, dtype=np.int64)
@@ -438,6 +516,9 @@ class Processor:
                 self.stats.inc("iters")
                 self.stats.inc("iters_up" if direction > 0
                                else "iters_down")
+                # Overlap the device round trip with host serialization.
+                pending = self.comparator.dispatch_compare_with_weights(
+                    img, direction, target_mul, factor, factor)
                 jpg_out = img.save_to_jpeg_data(jpg)
                 encoded = self.output_jpeg(jpg_out)
                 self.stats.log(
@@ -448,8 +529,10 @@ class Processor:
                     len(order_blocks), n_changed_blocks,
                     blocks_to_change, nb, val_threshold, len(encoded),
                     100.0 - (100.0 * est_jpg_size) / len(encoded))
-                d, w4 = self.comparator.compare_img_with_weights(
-                    img, direction, target_mul, factor, factor)
+                d, w4 = self._recoverable(
+                    lambda: self.comparator.dispatch_compare_with_weights(
+                        img, direction, target_mul, factor, factor),
+                    self.comparator.fetch_compare, pending)
                 cached_weights = (direction, w4)
                 self.stats.log(" BA[100.00%%] D[%6.4f]", d)
                 self.maybe_output(encoded)
@@ -644,6 +727,12 @@ class Processor:
                 self.select_frequency_masking(jpg, img, 1, ymul, False)
                 self.select_frequency_masking(jpg, img, 6, 1.0, True)
         return True
+
+
+def _frame_type_str(img) -> str:
+    """OutputImage::FrameTypeStr (output_image.cc:718-725)."""
+    return "f" + "".join("%d%d" % (c.factor_x, c.factor_y)
+                         for c in img.comps)
 
 
 def _copy_jpeg(jpg: jd.JpegData) -> jd.JpegData:

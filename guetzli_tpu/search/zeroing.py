@@ -58,12 +58,24 @@ def candidate_scores(blocks, orig_blocks, comp_mask, new_model=True):
 def _eval_dispatch(mode, cand, aux, lookahead):
     """Evaluate candidate tiles [NB*L, 3, 64] under the pass's frozen
     state `aux` (a tuple of device arrays, traced -- not baked constants).
-    `mode` is static: '444', '420y', or '420c'."""
+    `mode` is static: '444', '444p' (fused Pallas kernel), '420y', or
+    '420c'."""
     rep = lambda a: jnp.repeat(a, lookahead, axis=0)
     if mode == "444":
         xyb0_tiles, scales, ysel, xsel = aux
         lin = tile_ops.tiles_to_linear_rgb(cand, rep(xsel), rep(ysel))
         return tile_ops.compare_blocks(rep(xyb0_tiles), lin, rep(scales))
+    if mode == "444p":
+        from guetzli_tpu.kernels import tile_compare as tc
+        xyb0_tiles, scales, sy, sx = aux
+        n = cand.shape[0]
+        npad = (-n) % tc.TILE
+        pad = lambda a: jnp.concatenate(
+            [a, jnp.zeros((npad,) + a.shape[1:], a.dtype)]) if npad else a
+        errs = tc.tile_compare_pallas(
+            pad(cand), pad(rep(xyb0_tiles)), pad(rep(scales)),
+            pad(rep(sy)), pad(rep(sx)))
+        return errs[:n]
     if mode == "420y":
         chroma_bytes, xyb0_tiles, scales, ysel, xsel = aux
         return tile_ops.compare_blocks_420y(
@@ -185,9 +197,16 @@ def compute_zeroing_order_staged(blocks, orig_blocks, limit, aux, mode,
         max_t = int(sorted_counts[nxt]) if nxt < size else total
         if max_t <= t_done or nxt == size:
             max_t = total
-        state = _zeroing_stage(state, limit, aux_p, mode, comp_mask,
-                               lookahead, early_exit,
-                               max_t=jnp.int32(max_t))
+        # Chunk the device program: the tunneled TPU worker has been seen
+        # to crash on multi-second single executions, and bounded chunks
+        # also keep any retry cheap.
+        chunk = 32
+        t_next = t_done
+        while t_next < max_t:
+            t_next = min(t_next + chunk, max_t)
+            state = _zeroing_stage(state, limit, aux_p, mode, comp_mask,
+                                   lookahead, early_exit,
+                                   max_t=jnp.int32(t_next))
         t_done = max_t
         if t_done >= total:
             break

@@ -1,0 +1,62 @@
+"""Pallas fused tile-compare vs the XLA reference pipeline (the checkcl
+dual-execution pattern, SURVEY.md §4.3)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import FIXTURES
+
+from guetzli_tpu.comparator import Comparator
+from guetzli_tpu.io.png import read_png
+from guetzli_tpu.kernels import tile_compare as tc
+from guetzli_tpu.ops import tiles as tile_ops
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax.numpy as jnp
+
+    from guetzli_tpu.codec.encoder import encode_rgb_to_jpeg
+    with open(FIXTURES / "bees96x64.png", "rb") as f:
+        rgb, w, h = read_png(f.read())
+    jpg = encode_rgb_to_jpeg(
+        rgb, w, h, quant=np.full((3, 64), 3, dtype=np.int32))
+    coeffs = np.stack([c.coeffs.astype(np.int32) * 3
+                       for c in jpg.components])
+    comp = Comparator(rgb, w, h, 1.0)
+    comp.start_block_comparisons()
+    xyb0_tiles, scales, ysel, xsel = comp.block_state(1, 1)
+    cand = np.transpose(coeffs, (1, 0, 2))          # [NB, 3, 64]
+    return cand, xyb0_tiles, scales, ysel, xsel
+
+
+def _pad(a, n):
+    pad = n - a.shape[0]
+    return np.concatenate([np.asarray(a),
+                           np.zeros((pad,) + a.shape[1:], a.dtype)])
+
+
+def test_pallas_matches_xla(setup):
+    import jax.numpy as jnp
+    cand, xyb0_tiles, scales, ysel, xsel = setup
+    nb = cand.shape[0]
+
+    want = np.asarray(tile_ops.compare_blocks(
+        xyb0_tiles,
+        tile_ops.tiles_to_linear_rgb(jnp.asarray(cand), xsel, ysel),
+        scales))
+
+    n = ((nb + tc.TILE - 1) // tc.TILE) * tc.TILE
+    sy, sx = tc._selection_matrices(ysel, xsel)
+    got = np.asarray(tc.tile_compare_pallas(
+        jnp.asarray(_pad(cand, n)),
+        jnp.asarray(_pad(np.asarray(xyb0_tiles), n)),
+        jnp.asarray(_pad(np.asarray(scales), n)),
+        jnp.asarray(_pad(sy, n)), jnp.asarray(_pad(sx, n)),
+        interpret=True))[:nb]
+
+    # The kernel computes sRGB->linear arithmetically instead of through
+    # the double-precision LUT; the amplification through the opsin
+    # sensitivity keeps differences under ~1e-3 -- the same tolerance band
+    # as the reference-vs-JAX stage parity tests.
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)

@@ -1,0 +1,79 @@
+"""Corpus encoder: encode a directory (or file list) of images.
+
+Single-host: sequential size-bucketed encoding sharing jit caches
+(parallel/api.py). Multi-host: run one instance per host with
+--num-hosts/--host-index (or let jax.distributed supply them); the file
+list is sharded by index, the embarrassing parallelism of the reference's
+`xargs -P` golden test (tests/golden_test.sh:25) lifted to hosts.
+
+Usage:
+  python tools/corpus_encode.py --quality 95 --out DIR inputs...
+  python tools/corpus_encode.py --num-hosts 4 --host-index 2 ...
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("inputs", nargs="+")
+    ap.add_argument("--quality", type=float, default=95)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--num-hosts", type=int, default=1)
+    ap.add_argument("--host-index", type=int, default=0)
+    ap.add_argument("--distributed", action="store_true",
+                    help="initialize jax.distributed and derive host "
+                         "index/count from the process environment")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.distributed:
+        import jax
+        jax.distributed.initialize()
+        args.num_hosts = jax.process_count()
+        args.host_index = jax.process_index()
+
+    paths = []
+    for p in args.inputs:
+        p = pathlib.Path(p)
+        if p.is_dir():
+            paths.extend(sorted(
+                q for q in p.iterdir()
+                if q.suffix.lower() in (".png", ".jpg", ".jpeg")))
+        else:
+            paths.append(p)
+    mine = [p for i, p in enumerate(paths)
+            if i % args.num_hosts == args.host_index]
+
+    out_dir = pathlib.Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    from guetzli_tpu.parallel.api import encode_corpus
+    t0 = time.time()
+    items = [(p.name, p.read_bytes()) for p in mine]
+    results = encode_corpus(items, quality=args.quality,
+                            verbose=args.verbose)
+    wall = time.time() - t0
+
+    ok = 0
+    total_bytes = 0
+    for name, data, dt in results:
+        if data is None:
+            continue
+        (out_dir / (pathlib.Path(name).stem + ".jpg")).write_bytes(data)
+        ok += 1
+        total_bytes += len(data)
+    print(json.dumps({
+        "host": args.host_index, "images": len(mine), "encoded": ok,
+        "bytes": total_bytes, "wall_s": round(wall, 2),
+        "images_per_min": round(60.0 * ok / wall, 2) if wall else None,
+    }))
+    return 0 if ok == len(mine) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
