@@ -41,11 +41,24 @@ def main():
 
     # Warm-up encode: populates every jit cache for this image geometry so
     # the timed run measures steady-state throughput, not compilation.
-    process_rgb(params, rgb, w, h, ProcessStats())
-
-    t0 = time.time()
-    out = process_rgb(params, rgb, w, h, ProcessStats())
-    dt = time.time() - t0
+    # The tunneled TPU worker can crash; retry the whole attempt -- state
+    # is host-resident and the persistent compilation cache keeps retries
+    # cheap.
+    out = None
+    dt = None
+    for attempt in range(3):
+        try:
+            process_rgb(params, rgb, w, h, ProcessStats())
+            t0 = time.time()
+            out = process_rgb(params, rgb, w, h, ProcessStats())
+            dt = time.time() - t0
+            break
+        except Exception as e:
+            sys.stderr.write("bench attempt %d failed: %s\n"
+                             % (attempt + 1, e))
+            if attempt == 2:
+                raise
+            time.sleep(30)
 
     value = mpix / dt
     size_ok = abs(len(out) - REF_SIZE) <= 0.02 * REF_SIZE

@@ -18,6 +18,13 @@ Design notes:
     path (~1e-6 relative, far inside the metric's float tolerance);
   * the per-tile edge replication (ToPixels, output_image.cc:86-97) is a
     pair of per-tile 0/1 selection matrices instead of a dynamic gather.
+
+Status: semantics validated against the XLA pipeline (tests/
+test_pallas_kernel.py) and end-to-end byte-identical on the golden crop;
+enabled via GUETZLI_TPU_PALLAS=1. The axon remote AOT Mosaic toolchain
+currently aborts compiling the fully-unrolled kernel (tpu_compile_helper
+SIGABRT); on such deployments the kernel runs in interpret mode for
+verification only and the XLA pipeline stays the production path.
 """
 
 from functools import partial
@@ -50,8 +57,6 @@ _MHIC_RED = consts.MHIC_REDUCTION.astype(np.float32)
 # (butteraugli.cc:200-247): lut[0]=0, lut[1]=off, lut[i]=off+(i-1)*inc.
 _DY_OFF = np.float32(1.4103373714040413)
 _DY_INC = np.float32(0.7084088867024)
-_DX_OFF = np.float32(11.38708334481672)
-_DX_INC = np.float32(14.550189611520716)
 _LFY_INC = np.float32(5.2511644570349185)
 
 
@@ -158,21 +163,6 @@ def _opsin8x8(rgb):
     return jnp.stack(out, axis=1)
 
 
-def _shift8(x, dy, dx):
-    """Shift the last two (8, 8) axes with edge clamp masking handled by
-    the caller; out-of-range rows/cols carry garbage from the clamped
-    duplicate (masked before use)."""
-    if dy == -1:
-        x = jnp.concatenate([x[..., 1:, :], x[..., 7:8, :]], axis=-2)
-    elif dy == 1:
-        x = jnp.concatenate([x[..., 0:1, :], x[..., :7, :]], axis=-2)
-    if dx == -1:
-        x = jnp.concatenate([x[..., :, 1:], x[..., :, 7:8]], axis=-1)
-    elif dx == 1:
-        x = jnp.concatenate([x[..., :, 0:1], x[..., :, :7]], axis=-1)
-    return x
-
-
 _COL = np.arange(8, dtype=np.float32)[None, :] * np.ones((8, 1), np.float32)
 _ROW = _COL.T
 
@@ -186,8 +176,8 @@ def _mhic(t0, t1):
     ave = (t0 + t1) * 0.5
     y = ave[:, 1]
     big = _f32(-1.0)
-    row = jax.lax.broadcasted_iota(jnp.float32, (8, 8), 0)
-    col = jax.lax.broadcasted_iota(jnp.float32, (8, 8), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
 
     def sq(dy, dx):
         # neighbor value at (y+dy, x+dx)
@@ -203,13 +193,13 @@ def _mhic(t0, t1):
         d = sh - y
         d = d * d
         if dx == -1:
-            valid = col >= 1.0
+            valid = col >= 1
         elif dx == 1:
-            valid = col <= 6.0
+            valid = col <= 6
         elif dy == -1:
-            valid = row >= 1.0
+            valid = row >= 1
         else:
-            valid = row <= 6.0
+            valid = row <= 6
         return jnp.where(valid[None, :, :], d, big)
 
     sqr_max = jnp.maximum(jnp.maximum(sq(0, -1), sq(0, 1)),
@@ -307,24 +297,23 @@ def _block_diff(b0, b1, d):
 
 def _kernel(cand_ref, xyb0_ref, scale_ref, sy_ref, sx_ref, csfd_ref,
             out_ref):
-    cand = cand_ref[...].reshape(-1, 3, 8, 8)
-    vals = _idct_int(cand)
+    vals = _idct_int(cand_ref[...])
     # Edge replication: v2 = Sy @ v @ Sx^T with per-tile 0/1 matrices.
     sy = sy_ref[...]
     sx = sx_ref[...]
     v = vals
     rows = [None] * 8
     for i in range(8):
-        acc = sy[:, None, i, 0, None] * v[:, :, 0, :]
+        acc = sy[:, i, 0][:, None, None] * v[:, :, 0, :]
         for j in range(1, 8):
-            acc = acc + sy[:, None, i, j, None] * v[:, :, j, :]
+            acc = acc + sy[:, i, j][:, None, None] * v[:, :, j, :]
         rows[i] = acc
     v = jnp.stack(rows, axis=2)
     cols = [None] * 8
     for i in range(8):
-        acc = sx[:, None, None, i, 0] * v[:, :, :, 0]
+        acc = sx[:, i, 0][:, None, None] * v[:, :, :, 0]
         for j in range(1, 8):
-            acc = acc + sx[:, None, None, i, j] * v[:, :, :, j]
+            acc = acc + sx[:, i, j][:, None, None] * v[:, :, :, j]
         cols[i] = acc
     v = jnp.stack(cols, axis=3)                    # [T, 3, 8, 8] bytes
 
@@ -346,7 +335,7 @@ def _kernel(cand_ref, xyb0_ref, scale_ref, sy_ref, sx_ref, csfd_ref,
     diff = jnp.sum((dc + ac) * scale, axis=1)
     diff_edge = jnp.sum(edge * scale, axis=1)
     w = _f32(consts.BLOCK_EDGE_WEIGHT)
-    out_ref[...] = jnp.sqrt((1.0 - w) * diff + w * diff_edge)[None, :]
+    out_ref[...] = jnp.sqrt((1.0 - w) * diff + w * diff_edge)
 
 
 def _selection_matrices(ysel, xsel):
@@ -371,7 +360,8 @@ def _tile_compare_pallas(cand, xyb0_tiles, scales, sy, sx,
 
     Args:
       cand: [N, 3, 64] int32 dequantized candidate coefficients
-        (N a multiple of TILE; pad with zeros).
+        (N a multiple of TILE; pad with zeros); reshaped to blocks outside
+        the kernel (Mosaic rejects minor-dim shape casts in-kernel).
       xyb0_tiles: [N, 3, 8, 8] f32; scales: [N, 3] f32;
       sy, sx: [N, 8, 8] int32 selection matrices.
     Returns [N] float32 block errors.
@@ -383,7 +373,7 @@ def _tile_compare_pallas(cand, xyb0_tiles, scales, sy, sx,
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE, 3, 64), lambda i: (i, 0, 0),
+            pl.BlockSpec((TILE, 3, 8, 8), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 3, 8, 8), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -396,10 +386,10 @@ def _tile_compare_pallas(cand, xyb0_tiles, scales, sy, sx,
             pl.BlockSpec((8, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((TILE,), lambda i: (i,),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n // TILE, TILE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n,), jnp.float32),
         interpret=interpret,
-    )(cand, xyb0_tiles, scales, sy, sx,
+    )(cand.reshape(-1, 3, 8, 8), xyb0_tiles, scales, sy, sx,
       jnp.asarray((_CSF64 * _CSF_MASK).reshape(8, 8)))
-    return out.reshape(n)
+    return out

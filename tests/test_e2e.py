@@ -77,3 +77,20 @@ def test_small_image_passthrough():
     im = Image.open(io.BytesIO(out))
     im.load()
     assert im.size == (16, 16)
+
+
+def test_grayscale_collapse():
+    """A grayscale image's UV coefficients are all zero; SaveToJpegData
+    collapses to one component (output_image.cc:588) and the writer must
+    emit a valid 1-component JPEG."""
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 256, size=(48, 48, 1), dtype=np.uint8)
+    rgb = np.repeat(gray, 3, axis=2)
+    params = Params()
+    params.butteraugli_target = consts.butteraugli_score_for_quality(95)
+    out = process_rgb(params, rgb, 48, 48, ProcessStats())
+    from PIL import Image
+    im = Image.open(io.BytesIO(out))
+    im.load()
+    assert im.size == (48, 48)
+    assert im.mode == "L", im.mode     # 1-component JPEG decodes as L
