@@ -16,7 +16,6 @@ import json
 import sys
 import time
 
-import numpy as np
 
 REF_MPIX_PER_S = 0.01553        # reference CPU guetzli, this-host measurement
 REF_SIZE = 37910                # reference output bytes for bees.png q95

@@ -8,7 +8,6 @@ starting point of the search.
 
 import numpy as np
 
-from guetzli_tpu import consts
 from guetzli_tpu.codec import jpeg_data as jd
 from guetzli_tpu.codec.fdct import compute_block_dct
 

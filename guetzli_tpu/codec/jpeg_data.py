@@ -9,7 +9,6 @@ from typing import List, Optional
 
 import numpy as np
 
-from guetzli_tpu import consts
 
 K_DCT_BLOCK_SIZE = 64
 K_MAX_COMPONENTS = 4

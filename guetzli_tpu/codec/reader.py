@@ -25,52 +25,6 @@ class JpegError(ValueError):
     pass
 
 
-class _BitReader:
-    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing
-    (jpeg_data_reader.cc BitReaderState)."""
-
-    def __init__(self, data, pos):
-        self.data = data
-        self.len = len(data)
-        self.reset(pos)
-
-    def reset(self, pos):
-        self.pos = pos
-        self.val = 0
-        self.bits = 0
-
-    def _fill(self, n):
-        while self.bits < n:
-            byte = self.data[self.pos] if self.pos < self.len else 0
-            self.pos += 1
-            if byte == 0xFF:
-                nxt = self.data[self.pos] if self.pos < self.len else 0xD9
-                if nxt == 0:
-                    self.pos += 1
-                else:
-                    # Marker hit: feed zero bits (reference pads with zeros
-                    # and flags overread at FinishStream).
-                    self.pos -= 1
-                    byte = 0
-            self.val = ((self.val << 8) | byte) & 0xFFFFFFFFFFFF
-            self.bits += 8
-
-    def read_bits(self, n):
-        if n == 0:
-            return 0
-        self._fill(n)
-        self.bits -= n
-        return (self.val >> self.bits) & ((1 << n) - 1)
-
-    def finish_stream(self):
-        """Byte position after discarding the partial byte; error if we ran
-        past the buffer."""
-        # Rewind whole unread bytes, accounting for unstuffing is complex;
-        # instead track via re-scan: reference keeps byte positions, we
-        # emulate by remembering consumed stuffed bytes.
-        raise NotImplementedError
-
-
 class _BitReaderPos:
     """Bit reader that tracks exact byte positions (including unstuffing)
     so restart markers and scan ends can be located."""

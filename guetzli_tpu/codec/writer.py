@@ -11,7 +11,6 @@ import numpy as np
 from guetzli_tpu import consts
 from guetzli_tpu.codec import histograms as hg
 from guetzli_tpu.codec import huffman
-from guetzli_tpu.codec import jpeg_data as jd
 
 _NAT = consts.JPEG_NATURAL_ORDER[:64]
 

@@ -10,7 +10,6 @@ jit covers the entire metric; the per-step-grid loops of the reference
 become strided slices and batched 8x8 block ops.
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

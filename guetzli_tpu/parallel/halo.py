@@ -16,7 +16,6 @@ sigmas. (The sigma>=3 step-subsampled blurs go through XLA's automatic SPMD
 partitioning instead, which inserts its own halo collectives.)
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
