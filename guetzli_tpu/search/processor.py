@@ -359,25 +359,21 @@ class Processor:
                 _time.sleep(20)
                 self.comparator.recover_device_state()
 
-        # CSR candidate arrays (processor.cc:694-716).
-        offsets = np.zeros(nb + 1, dtype=np.int64)
-        cand_idx = []
-        cand_err = []
+        # CSR candidate arrays (processor.cc:694-716), vectorized.
         limit = self.comparator.block_error_limit()
-        for b in range(nb):
-            offsets[b] = len(cand_idx)
-            n = int(num[b])
-            errs = out_err[b, :n]
-            sel = (errs > 0) & (errs <= limit)
-            cand_idx.extend(out_idx[b, :n][sel].tolist())
-            cand_err.extend(errs[sel].tolist())
-        offsets[nb] = len(cand_idx)
+        slot = np.arange(out_err.shape[1])[None, :]
+        sel = ((slot < num[:, None]) & (out_err > 0)
+               & (out_err <= limit))
+        counts = sel.sum(axis=1)
+        offsets = np.zeros(nb + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        cand_idx = out_idx[sel].astype(np.int32)
+        cand_err = out_err[sel].astype(np.float32)
         self.comparator.finish_block_comparisons()
 
         self.select_frequency_back_end(
             jpg, img, comp_mask, target_mul, stop_early,
-            offsets, np.array(cand_idx, dtype=np.int32),
-            np.array(cand_err, dtype=np.float32))
+            offsets, cand_idx, cand_err)
 
     # -- back-end up/down loop (processor.cc:723-919) -----------------
 

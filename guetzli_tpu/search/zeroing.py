@@ -192,21 +192,16 @@ def compute_zeroing_order_staged(blocks, orig_blocks, limit, aux, mode,
     t_done = 0
     total = int(sorted_counts[0]) if nb else 0
     while size > 0 and t_done < total:
-        # Next stage boundary: half the current prefix (at least 1 block).
-        nxt = max(1, size // 2)
+        # Next stage boundary: quarter the current prefix (at least 1
+        # block) -- few large stages; every extra device program is another
+        # chance for the flaky tunneled worker to fault.
+        nxt = max(1, size // 4)
         max_t = int(sorted_counts[nxt]) if nxt < size else total
         if max_t <= t_done or nxt == size:
             max_t = total
-        # Chunk the device program: the tunneled TPU worker has been seen
-        # to crash on multi-second single executions, and bounded chunks
-        # also keep any retry cheap.
-        chunk = 32
-        t_next = t_done
-        while t_next < max_t:
-            t_next = min(t_next + chunk, max_t)
-            state = _zeroing_stage(state, limit, aux_p, mode, comp_mask,
-                                   lookahead, early_exit,
-                                   max_t=jnp.int32(t_next))
+        state = _zeroing_stage(state, limit, aux_p, mode, comp_mask,
+                               lookahead, early_exit,
+                               max_t=jnp.int32(max_t))
         t_done = max_t
         if t_done >= total:
             break
