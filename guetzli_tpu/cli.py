@@ -83,10 +83,11 @@ def main(argv=None) -> int:
     stats = ProcessStats(debug=verbose)
 
     if data[:2] == b"\xff\xd8":
-        try:
-            from guetzli_tpu.search.processor import process_jpeg_bytes
-        except ImportError:
-            sys.stderr.write("JPEG input support not available\n")
+        from guetzli_tpu.codec.reader import peek_dimensions
+        from guetzli_tpu.search.processor import process_jpeg_bytes
+        dims = peek_dimensions(data)
+        if dims is not None and not _check_memory(dims[0] * dims[1],
+                                                 memlimit_mb):
             return 1
         out = process_jpeg_bytes(params, data, stats)
         if out is None:

@@ -134,6 +134,35 @@ def _huff_extend(r, s):
     return r
 
 
+def peek_dimensions(data: bytes):
+    """(width, height) from the SOF header without decoding scans
+    (the reference's JPEG_READ_HEADER mode used by the memory guard,
+    guetzli.cc:329-339). Returns None if no SOF is found."""
+    data = bytes(data)
+    n = len(data)
+    if n < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        return None
+    pos = 2
+    while pos + 3 < n:
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        pos += 2
+        if 0xC0 <= marker <= 0xC2:
+            if pos + 7 >= n:
+                return None
+            h = (data[pos + 3] << 8) | data[pos + 4]
+            w = (data[pos + 5] << 8) | data[pos + 6]
+            return w, h
+        if marker == 0xD9 or marker == 0xDA:
+            return None
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        ln = (data[pos] << 8) | data[pos + 1]
+        pos += max(ln, 2)
+    return None
+
+
 def read_jpeg(data: bytes) -> jd.JpegData:
     """ReadJpeg(..., JPEG_READ_ALL) (jpeg_data_reader.cc:931-1080)."""
     data = bytes(data)

@@ -107,3 +107,10 @@ def test_native_python_decode_parity(rgb96x64):
             native.get_lib = real
         for cn, cp in zip(jpg_native.components, jpg_python.components):
             np.testing.assert_array_equal(cn.coeffs, cp.coeffs)
+
+
+def test_peek_dimensions(rgb96x64):
+    data = _pil_jpeg(rgb96x64, 0)
+    assert reader.peek_dimensions(data) == (96, 64)
+    assert reader.peek_dimensions(b"nope") is None
+    assert reader.peek_dimensions(b"\xff\xd8\xff\xd9") is None
