@@ -328,7 +328,11 @@ class Processor:
         # pass -- the framework-level analog of the reference's per-image
         # fallback output (processor.cc:965-977).
         import os
-        use_staged = os.environ.get("GUETZLI_TPU_STAGED_ZEROING") == "1"
+        # Staged compaction (2-3 device programs, fixed stage shapes) is
+        # the default; GUETZLI_TPU_STAGED_ZEROING=0 forces the single
+        # full-batch program.
+        use_staged = os.environ.get("GUETZLI_TPU_STAGED_ZEROING",
+                                    "1") != "0"
         for attempt in range(3):
             try:
                 mode, aux = build_aux()

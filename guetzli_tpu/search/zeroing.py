@@ -148,6 +148,12 @@ def _zeroing_stage(state, limit, aux, mode, comp_mask, lookahead,
     return jax.lax.while_loop(cond, body, state)
 
 
+# Fixed stage sizes: every stage executable after the full-batch one has a
+# geometry-independent shape, so the (expensive, remote) compilation is
+# paid once ever, not once per image.
+_STAGE_SIZES = (2048, 512)
+
+
 def compute_zeroing_order_staged(blocks, orig_blocks, limit, aux, mode,
                                  comp_mask, lookahead=3, new_model=True,
                                  early_exit=False):
@@ -155,11 +161,12 @@ def compute_zeroing_order_staged(blocks, orig_blocks, limit, aux, mode,
 
     Blocks finish after as many iterations as they have candidates; a
     single while_loop over all blocks would spend its long tail doing
-    full-batch work for a handful of stragglers. Instead blocks are sorted
-    by candidate count (host side, from the same validity rule the kernel
-    uses), the loop runs on progressively smaller prefixes, and each stage
-    halves the batch: total device work tracks the area under the sorted
-    candidate-count curve instead of NB * max_count.
+    full-batch work for a handful of stragglers. Blocks are sorted by
+    candidate count (host side, from the same validity rule the kernel
+    uses); the loop runs the full batch only until every block outside the
+    top-2048 is done, then continues on fixed-size prefixes (2048, 512):
+    device work tracks the area under the sorted candidate-count curve
+    instead of NB * max_count, with at most 3 device programs.
 
     Same results as the single-loop version, host-reassembled into the
     original block order. Returns (out_idx, out_err_monotonic, num).
@@ -191,37 +198,28 @@ def compute_zeroing_order_staged(blocks, orig_blocks, limit, aux, mode,
     size = nb
     t_done = 0
     total = int(sorted_counts[0]) if nb else 0
+    ladder = [s for s in _STAGE_SIZES if s < nb]
     while size > 0 and t_done < total:
-        # Next stage boundary: quarter the current prefix (at least 1
-        # block) -- few large stages; every extra device program is another
-        # chance for the flaky tunneled worker to fault.
-        nxt = max(1, size // 4)
-        max_t = int(sorted_counts[nxt]) if nxt < size else total
-        if max_t <= t_done or nxt == size:
+        # Run the current prefix until every block outside the next fixed
+        # stage size is finished (its candidate count reached).
+        nxt = ladder[0] if ladder else None
+        max_t = int(sorted_counts[nxt]) if nxt is not None else total
+        if max_t <= t_done:
             max_t = total
         state = _zeroing_stage(state, limit, aux_p, mode, comp_mask,
                                lookahead, early_exit,
                                max_t=jnp.int32(max_t))
         t_done = max_t
-        if t_done >= total:
+        if t_done >= total or nxt is None:
             break
-        # Shrink to the blocks that can still have work, rounded up to a
-        # power of two so stage shapes (and their compiled executables)
-        # repeat across images and passes.
-        new_size = int(np.searchsorted(-sorted_counts, -t_done,
-                                       side="left"))
-        new_size = max(new_size, 1)
-        new_size = 1 << (new_size - 1).bit_length()
-        if new_size < size:
-            # Blocks outside the new prefix are finished: bank their rows.
-            oi, oe = np.asarray(state[3]), np.asarray(state[4])
-            out_idx_np[new_size:size] = oi[new_size:size]
-            out_err_np[new_size:size] = oe[new_size:size]
-            state = tuple(x[:new_size] if hasattr(x, "shape")
-                          and x.ndim > 0 else x for x in state[:5]) \
-                + (state[5],)
-            aux_p = tuple(a[:new_size] for a in aux_p)
-            size = new_size
+        ladder = ladder[1:]
+        # Blocks outside the fixed prefix are finished: bank their rows.
+        oi, oe = np.asarray(state[3]), np.asarray(state[4])
+        out_idx_np[nxt:size] = oi[nxt:size]
+        out_err_np[nxt:size] = oe[nxt:size]
+        state = tuple(x[:nxt] for x in state[:5]) + (state[5],)
+        aux_p = tuple(a[:nxt] for a in aux_p)
+        size = nxt
 
     oi, oe = np.asarray(state[3]), np.asarray(state[4])
     out_idx_np[:size] = oi[:size]
