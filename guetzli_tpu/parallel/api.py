@@ -35,37 +35,80 @@ def encode_bytes(data: bytes, quality: float = 95,
     return process_rgb(params, rgb, w, h, stats)
 
 
+def _peek_geometry(data: bytes):
+    """(w, h) without decoding pixel data, or None."""
+    if data[:2] == b"\xff\xd8":
+        from guetzli_tpu.codec.reader import peek_dimensions
+        return peek_dimensions(data)
+    try:
+        import io as _io
+
+        from PIL import Image
+        with Image.open(_io.BytesIO(data)) as im:
+            return im.size
+    except Exception:
+        return None
+
+
 def encode_corpus(inputs, quality: float = 95, params: Params = None,
-                  verbose: bool = False):
+                  verbose: bool = False, threads: int = 1):
     """Encode a corpus of images.
 
     Args:
       inputs: iterable of (name, bytes) pairs.
       quality: libjpeg-style quality (>= 84).
+      threads: concurrent encodes. Each image's search is host-driven with
+        blocking device fetches; with several images in flight the fetch
+        waits overlap (one image's host work and device round trips hide
+        another's), which is where tunneled-TPU latency goes. Device work
+        itself is serialized by the single chip.
     Returns:
       list of (name, jpeg_bytes_or_None, seconds).
 
-    Images are size-bucketed so geometries repeat back-to-back and reuse
-    live jit caches.
+    Images are geometry-bucketed so XLA executables are reused; the first
+    image of each geometry is encoded alone to warm the jit caches before
+    concurrency begins.
     """
     from guetzli_tpu.runtime import configure
     configure()
     items = list(inputs)
-    # Bucket by input size as a cheap geometry proxy (exact geometry needs
-    # decoding; same-dimension images usually have similar byte sizes).
-    order = sorted(range(len(items)), key=lambda i: len(items[i][1]))
+    geoms = [_peek_geometry(d) for _, d in items]
+    order = sorted(range(len(items)),
+                   key=lambda i: (geoms[i] is None, geoms[i] or (0, 0),
+                                  len(items[i][1])))
     results = [None] * len(items)
-    for i in order:
+
+    def encode_one(i):
         name, data = items[i]
         t0 = time.time()
         try:
             out = encode_bytes(data, quality, params)
         except Exception as e:       # keep the corpus going (per-image
-            sys.stderr.write(f"{name}: {e}\n")   # retry is the analog of
-            out = None                           # the ref's fallback output)
+            sys.stderr.write(f"{name}: {e}\n")   # isolation is the analog
+            out = None                           # of xargs -P processes)
         dt = time.time() - t0
         if verbose:
             n = len(out) if out else 0
             sys.stderr.write(f"{name}: {n} bytes in {dt:.1f}s\n")
         results[i] = (name, out, dt)
+
+    if threads <= 1:
+        for i in order:
+            encode_one(i)
+        return results
+
+    import concurrent.futures as cf
+    seen_geom = set()
+    warm, rest = [], []
+    for i in order:
+        g = geoms[i]
+        if g not in seen_geom:
+            seen_geom.add(g)
+            warm.append(i)
+        else:
+            rest.append(i)
+    for i in warm:                   # compile caches, one per geometry
+        encode_one(i)
+    with cf.ThreadPoolExecutor(max_workers=threads) as ex:
+        list(ex.map(encode_one, rest))
     return results

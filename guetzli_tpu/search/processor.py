@@ -704,6 +704,19 @@ class Processor:
                         or (self.params.try_420
                             and not _is_grayscale(jpg_in))) else 0
         force_420 = 1 if (input_is_420 or self.params.force_420) else 0
+        try:
+            self._run_search(jpg_in, q_in, force_420, try_420)
+        except Exception as e:
+            # The original/requantized output was emitted before the search
+            # started, so a failed search still yields valid output -- the
+            # reference's resilience model (processor.cc:965-977).
+            if not self.final.jpeg_data:
+                raise
+            sys.stderr.write(
+                "search failed (%s); emitting best output so far\n" % e)
+        return True
+
+    def _run_search(self, jpg_in, q_in, force_420, try_420):
         for downsample in range(force_420, try_420 + 1):
             jpg = _copy_jpeg(jpg_in)
             st.remove_original_quantization(jpg)

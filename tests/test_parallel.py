@@ -38,3 +38,18 @@ def test_mesh_factoring():
     assert mesh.shape["batch"] * mesh.shape["tile"] == 8
     mesh1 = corpus.make_mesh(1)
     assert mesh1.shape["batch"] == 1 and mesh1.shape["tile"] == 1
+
+
+def test_encode_corpus_threads_match_sequential():
+    """Threaded corpus encoding must produce the same bytes as
+    sequential (device work is deterministic; only scheduling differs)."""
+    import pathlib
+
+    from guetzli_tpu.parallel.api import encode_corpus
+    fix = pathlib.Path(__file__).parent / "fixtures"
+    data = (fix / "bees96x64.png").read_bytes()
+    items = [(f"img{i}", data) for i in range(3)]
+    seq = encode_corpus(items, quality=95, threads=1)
+    par = encode_corpus(items, quality=95, threads=3)
+    for (n1, b1, _), (n2, b2, _) in zip(seq, par):
+        assert b1 is not None and b1 == b2, (n1, n2)

@@ -28,6 +28,9 @@ def main(argv=None) -> int:
     ap.add_argument("--distributed", action="store_true",
                     help="initialize jax.distributed and derive host "
                          "index/count from the process environment")
+    ap.add_argument("--threads", type=int, default=1,
+                    help="concurrent encodes per host (overlaps device "
+                         "round trips across images)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -56,7 +59,7 @@ def main(argv=None) -> int:
     t0 = time.time()
     items = [(p.name, p.read_bytes()) for p in mine]
     results = encode_corpus(items, quality=args.quality,
-                            verbose=args.verbose)
+                            verbose=args.verbose, threads=args.threads)
     wall = time.time() - t0
 
     ok = 0
