@@ -53,3 +53,67 @@ def test_encode_corpus_threads_match_sequential():
     par = encode_corpus(items, quality=95, threads=3)
     for (n1, b1, _), (n2, b2, _) in zip(seq, par):
         assert b1 is not None and b1 == b2, (n1, n2)
+
+
+def test_sharded_search_step_numerics():
+    """The mesh-sharded search step must reproduce single-device scores
+    and zeroing evaluations (XLA SPMD partitioning is semantics-
+    preserving; this pins it)."""
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    from guetzli_tpu.codec.encoder import encode_rgb_to_jpeg
+    from guetzli_tpu.comparator import Comparator
+    from guetzli_tpu.ops.opsin import opsin_dynamics_image
+    from guetzli_tpu import consts
+
+    rng = np.random.RandomState(7)
+    w, h = 32, 8 * len(jax.devices())
+    b = 2
+    lut = consts.SRGB_TO_LINEAR.astype(np.float32)
+
+    coeffs = np.zeros((b, 3, (w // 8) * (h // 8), 64), dtype=np.int32)
+    xyb0 = np.zeros((b, 3, h, w), dtype=np.float32)
+    tiles = np.zeros((b, (w // 8) * (h // 8), 3, 8, 8), dtype=np.float32)
+    scales = np.zeros((b, (w // 8) * (h // 8), 3), dtype=np.float32)
+    ysels = np.zeros((b, (w // 8) * (h // 8), 8), dtype=np.int32)
+    xsels = np.zeros((b, (w // 8) * (h // 8), 8), dtype=np.int32)
+    for i in range(b):
+        rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        jpg = encode_rgb_to_jpeg(rgb, w, h)
+        coeffs[i] = np.stack([c.coeffs.astype(np.int32)
+                              for c in jpg.components])
+        xyb0[i] = np.asarray(opsin_dynamics_image(
+            jnp.asarray(lut[rgb].transpose(2, 0, 1))))
+        comp = Comparator(rgb, w, h, 1.0)
+        comp.start_block_comparisons()
+        t, s, ysel, xsel = comp.block_state(1, 1)
+        tiles[i], scales[i] = np.asarray(t), np.asarray(s)
+        ysels[i], xsels[i] = np.asarray(ysel), np.asarray(xsel)
+
+    mesh = corpus.make_mesh(len(jax.devices()))
+    step, shardings = corpus.make_search_step(
+        mesh, w // 8, h // 8, w, h)
+    args = [jax.device_put(a, s) for a, s in zip(
+        (coeffs, coeffs.copy(), xyb0, tiles, scales, ysels, xsels,
+         np.float32(1.0)), shardings)]
+    scores_sharded, new_coeffs_sharded, errs_sharded = step(*args)
+
+    # Single-device reference.
+    for i in range(b):
+        s1, _ = corpus._compare_one(jnp.asarray(coeffs[i]),
+                                    jnp.asarray(xyb0[i]),
+                                    bw=w // 8, bh=h // 8, w=w, h=h)
+        # SPMD partitioning reorders float accumulations; the reference's
+        # own GPU-vs-CPU harness uses 1e-3 (clguetzli_test.cpp:21-36).
+        np.testing.assert_allclose(float(scores_sharded[i]), float(s1),
+                                   rtol=1e-3, atol=1e-3)
+        nbt = np.transpose(coeffs[i], (1, 0, 2))     # [NB, 3, 64]
+        nc1, errs1 = corpus._zeroing_eval_one(
+            jnp.asarray(nbt), jnp.asarray(nbt),
+            jnp.asarray(tiles[i]), jnp.asarray(scales[i]),
+            jnp.asarray(ysels[i]), jnp.asarray(xsels[i]),
+            jnp.float32(1.0))
+        np.testing.assert_allclose(np.asarray(errs_sharded[i]),
+                                   np.asarray(errs1), rtol=1e-3, atol=1e-3)
