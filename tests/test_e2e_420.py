@@ -55,3 +55,19 @@ def test_force_420_from_png():
     assert im.size == (96, 64)
     # 420 output must be smaller than the 444 output for the same target.
     assert len(out) < 2450
+
+
+def test_e2e_420_jpeg_input_160x120():
+    """Second 420 golden point: reference encoder produced 5251 bytes for
+    this input; ours must land within the band."""
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.open(FIXTURES / "bees160x120.png").save(
+        buf, format="JPEG", quality=90, subsampling=2)
+    params = Params()
+    params.butteraugli_target = consts.butteraugli_score_for_quality(95)
+    out = process_jpeg_bytes(params, buf.getvalue(), ProcessStats())
+    assert out is not None
+    im = Image.open(io.BytesIO(out))
+    im.load()
+    assert abs(len(out) - 5251) <= 0.025 * 5251, len(out)
