@@ -71,3 +71,20 @@ def test_e2e_420_jpeg_input_160x120():
     im = Image.open(io.BytesIO(out))
     im.load()
     assert abs(len(out) - 5251) <= 0.025 * 5251, len(out)
+
+
+def test_try_420_picks_best():
+    """try_420 runs the 444 pass then the 420 pass and MaybeOutput keeps
+    the better-scoring result (processor.cc:986-1016)."""
+    from guetzli_tpu.io.png import read_png
+    with open(FIXTURES / "bees96x64.png", "rb") as f:
+        rgb, w, h = read_png(f.read())
+    params = Params(try_420=True)
+    params.butteraugli_target = consts.butteraugli_score_for_quality(95)
+    out = process_rgb(params, rgb, w, h, ProcessStats())
+    from PIL import Image
+    im = Image.open(io.BytesIO(out))
+    im.load()
+    assert im.size == (96, 64)
+    # Must not be worse than the 444-only result by more than the band.
+    assert len(out) <= 2373
