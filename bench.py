@@ -22,8 +22,27 @@ REF_SIZE = 37910                # reference output bytes for bees.png q95
 REF_DISTANCE = 0.9717
 
 
+def _probe_backend(timeout_s=180):
+    """Check device availability in a subprocess: a wedged TPU tunnel
+    hangs jax.devices() forever in-process, which a timeout can't
+    interrupt. Returns True if the default backend initializes."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
-    import jax
+    if not _probe_backend():
+        sys.stderr.write("default backend unreachable; benching on CPU\n")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
     from guetzli_tpu.runtime import configure
     configure()
     from guetzli_tpu import consts
