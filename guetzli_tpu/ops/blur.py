@@ -70,12 +70,13 @@ def _border_weights(size: int, taps_key, offset: int, step: int,
 
 
 def blur(channel, sigma: float, border_ratio: float = 0.0):
-    """Blur a single-channel image [H, W]; see module docstring.
+    """Blur an image [..., H, W] (leading axes batched in one conv).
 
     Mirrors _Blur (butteraugli.cc:100-148): horizontal pass (with stride),
     vertical pass on the subsampled intermediate, then nearest upsample.
     """
-    h, w = channel.shape
+    lead = channel.shape[:-2]
+    h, w = channel.shape[-2:]
     taps, offset = gauss_taps(sigma)
     step = max(1, int(sigma / 3.0))
     taps_key = tuple(taps.tolist())
@@ -86,22 +87,27 @@ def blur(channel, sigma: float, border_ratio: float = 0.0):
     scale_y = jnp.asarray(
         _border_weights(h, taps_key, offset, step, border_ratio))
 
-    # Horizontal: [H, W] -> [H, dW], normalized per output column.
-    t = _conv1d_strided(channel, jt, offset, step) * scale_x[None, :]
-    # Vertical over the intermediate: [dW, H] -> [dW, dH].
-    t = _conv1d_strided(t.T, jt, offset, step) * scale_y[None, :]
-    out = t.T  # [dH, dW]
+    # Horizontal: [..., H, W] -> [..., H, dW], normalized per column.
+    t = _conv1d_strided(channel.reshape(-1, w), jt, offset, step)
+    dw = t.shape[-1]
+    t = t * scale_x[None, :]
+    # Vertical over the intermediate: conv the H axis.
+    t = t.reshape(lead + (h, dw))
+    t = jnp.swapaxes(t, -1, -2)                      # [..., dW, H]
+    t = _conv1d_strided(t.reshape(-1, h), jt, offset, step)
+    t = t * scale_y[None, :]
+    dh = t.shape[-1]
+    out = jnp.swapaxes(t.reshape(lead + (dw, dh)), -1, -2)
 
     if step > 1:
-        out = jnp.repeat(jnp.repeat(out, step, axis=0), step, axis=1)
-        out = out[:h, :w]
+        out = jnp.repeat(jnp.repeat(out, step, axis=-2), step, axis=-1)
+        out = out[..., :h, :w]
     return out
 
 
 def blur_planes(planes, sigma: float, border_ratio: float = 0.0):
-    """Blur each channel of a planar [C, H, W] image."""
-    return jnp.stack([blur(planes[c], sigma, border_ratio)
-                      for c in range(planes.shape[0])])
+    """Blur each channel of a planar [C, H, W] image (one batched conv)."""
+    return blur(planes, sigma, border_ratio)
 
 
 @lru_cache(maxsize=None)

@@ -79,10 +79,11 @@ def _res_positions(size, step, margin):
 def edge_detector_map(xyb0, xyb1, step=3):
     """butteraugli.cc:689-738, 1119-1149 -> [ny, nx, 3] on the step grid."""
     _, h, w = xyb0.shape
-    blurred0 = jnp.stack([blur(xyb0[c], s, 0.0)
-                          for c, s in enumerate(consts.EDGE_DETECTOR_SIGMAS)])
-    blurred1 = jnp.stack([blur(xyb1[c], s, 0.0)
-                          for c, s in enumerate(consts.EDGE_DETECTOR_SIGMAS)])
+    # One batched conv per sigma over (image0, image1) channel pairs.
+    pairs = [blur(jnp.stack([xyb0[c], xyb1[c]]), s, 0.0)
+             for c, s in enumerate(consts.EDGE_DETECTOR_SIGMAS)]
+    blurred0 = jnp.stack([p[0] for p in pairs])
+    blurred1 = jnp.stack([p[1] for p in pairs])
 
     wgt = np.float32(consts.EDGE_DETECTOR_W)
 
@@ -163,9 +164,8 @@ def block_diff_map(xyb0, xyb1, step=3):
 def edge_detector_low_freq(xyb0, xyb1, ac_map, step=3):
     """butteraugli.cc:1151-1205; adds into ac_map at x-offset 8//step."""
     _, h, w = xyb0.shape
-    blurred0 = blur_planes(xyb0, consts.EDGE_LF_SIGMA, 0.0)
-    blurred1 = blur_planes(xyb1, consts.EDGE_LF_SIGMA, 0.0)
-    e = blurred1 - blurred0    # [3, H, W]
+    both = blur(jnp.stack([xyb0, xyb1]), consts.EDGE_LF_SIGMA, 0.0)
+    e = both[1] - both[0]      # [3, H, W]
 
     ys = _res_positions(h, step, 8)  # loop condition: y + 8 < h
     xs = _res_positions(w, step, 8)

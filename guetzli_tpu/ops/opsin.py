@@ -54,8 +54,7 @@ def rgb_to_xyb(mixed):
 
 def opsin_dynamics_image(rgb):
     """[3, H, W] linear RGB -> XYB opsin (butteraugli.cc:943-974)."""
-    blurred = jnp.stack(
-        [blur(rgb[c], consts.OPSIN_SIGMA, 0.0) for c in range(3)])
+    blurred = blur(rgb, consts.OPSIN_SIGMA, 0.0)
     return _opsin_from_blurred(rgb, blurred)
 
 
