@@ -214,20 +214,15 @@ class Comparator:
         return self.distance
 
     def dispatch_compare(self, img):
-        """Asynchronously dispatch a full compare of a CoeffImage."""
-        if img.is_444():
-            return _full_compare(jnp.asarray(img.coeffs), self.xyb0,
-                                 bw=img.bw, bh=img.bh,
-                                 w=self.width, h=self.height)
-        y, u, v = img.comps
-        return _full_compare_420(
-            jnp.asarray(y.coeffs), jnp.asarray(u.coeffs),
-            jnp.asarray(v.coeffs), self.xyb0,
-            ybw=y.bw, ybh=y.bh, cbw=u.bw, cbh=u.bh,
-            w=self.width, h=self.height)
+        """Asynchronously dispatch a full compare of a CoeffImage.
+
+        Reuses the fused compare+weights executable (weights ignored) so
+        each image geometry compiles one diffmap program, not two --
+        remote AOT compilation is minutes per program."""
+        return self.dispatch_compare_with_weights(img, 1, 1.0, 1, 1)
 
     def fetch_compare_plain(self, handle):
-        score, dmap = handle
+        score, dmap, _unused_w4 = handle
         self.distance = float(score)
         self.distmap = dmap
         return self.distance
