@@ -27,6 +27,7 @@ SIGABRT); on such deployments the kernel runs in interpret mode for
 verification only and the XLA pipeline stays the production path.
 """
 
+import os
 from functools import partial
 
 import jax
@@ -39,6 +40,10 @@ from guetzli_tpu import consts
 from guetzli_tpu.ops.blur import blur_matrix
 
 TILE = 256  # tiles per grid step
+
+# Dot-based contraction lowering (smaller MLIR for the AOT Mosaic helper);
+# numerically equivalent within f32 rounding of the unrolled-FMA default.
+USE_DOT = os.environ.get("GUETZLI_TPU_PALLAS_DOT") == "1"
 
 # -- compile-time constant tables ----------------------------------------
 _IDCT = consts.IDCT_MATRIX.astype(np.int32)              # [y, u]
@@ -139,7 +144,10 @@ def _opsin8x8(rgb):
     """[T, 3, 8, 8] linear RGB -> XYB opsin (tile-confined blur)."""
     # blurred = BM @ rgb @ BM^T: out[..., i, l] = sum_{j,k} BM[i,j]
     # rgb[..., j, k] BM[l, k] -- row contraction uses BM rows on axis 3.
-    blurred = _mat8(_f32, _BM, _mat8(_f32, _BM, rgb, axis=3), axis=2)
+    if USE_DOT:
+        blurred = _transform2d(rgb, _BM, _BM)
+    else:
+        blurred = _mat8(_f32, _BM, _mat8(_f32, _BM, rgb, axis=3), axis=2)
 
     def absorbance(x):
         out = []
@@ -218,12 +226,18 @@ def _fft8_sq(x):
     """|2-D DFT|^2 of real [T, 8, 8] (y, x) -> [T, 8, 8] laid out
     [xfreq, yfreq] with the 0.000064 scale (butteraugli.cc:574-597)."""
     a = jnp.swapaxes(x, -1, -2)                  # [T, x, y]
-    t1r = _mat8(_f32, _DFT_RE, a, axis=1)
-    t1i = _mat8(_f32, _DFT_IM, a, axis=1)
-    gr = _mat8(_f32, _DFT_RE, t1r, axis=2) - _mat8(_f32, _DFT_IM, t1i,
-                                                   axis=2)
-    gi = _mat8(_f32, _DFT_IM, t1r, axis=2) + _mat8(_f32, _DFT_RE, t1i,
-                                                   axis=2)
+    if USE_DOT:
+        gr = _transform2d(a, _DFT_RE, _DFT_RE) \
+            - _transform2d(a, _DFT_IM, _DFT_IM)
+        gi = _transform2d(a, _DFT_RE, _DFT_IM) \
+            + _transform2d(a, _DFT_IM, _DFT_RE)
+    else:
+        t1r = _mat8(_f32, _DFT_RE, a, axis=1)
+        t1i = _mat8(_f32, _DFT_IM, a, axis=1)
+        gr = _mat8(_f32, _DFT_RE, t1r, axis=2) - _mat8(_f32, _DFT_IM, t1i,
+                                                       axis=2)
+        gi = _mat8(_f32, _DFT_IM, t1r, axis=2) + _mat8(_f32, _DFT_RE, t1i,
+                                                       axis=2)
     return (gr * gr + gi * gi) * _f32(consts.FFT_GLOBAL_MUL)
 
 
@@ -393,3 +407,24 @@ def _tile_compare_pallas(cand, xyb0_tiles, scales, sy, sx,
     )(cand.reshape(-1, 3, 8, 8), xyb0_tiles, scales, sy, sx,
       jnp.asarray((_CSF64 * _CSF_MASK).reshape(8, 8)))
     return out
+
+
+# ---------------------------------------------------------------------
+# v2 lowering helpers: contractions as dot_general (the unrolled-FMA form
+# produces ~150 KB of MLIR, which the axon AOT Mosaic helper aborts on;
+# dots shrink the program ~20x). Used when GUETZLI_TPU_PALLAS_DOT=1.
+# ---------------------------------------------------------------------
+
+def _matmul_last(x, mat_t):
+    """Contract the last axis of x [..., k] with mat_t [k, i] -> [..., i]."""
+    return jax.lax.dot_general(
+        x, mat_t, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _transform2d(x, a, b):
+    """out = a @ x @ b^T for [..., 8, 8] via two last-axis dots."""
+    t = _matmul_last(x, jnp.asarray(b.T))          # [..., j, i]
+    t = jnp.swapaxes(t, -1, -2)                    # [..., i, j]
+    t = _matmul_last(t, jnp.asarray(a.T))          # [..., i, m] (sum_j a[m,j])
+    return jnp.swapaxes(t, -1, -2)
