@@ -140,12 +140,12 @@ def _gamma(v):
     return clenshaw(consts.GAMMA_P) / clenshaw(consts.GAMMA_Q)
 
 
-def _opsin8x8(rgb):
+def _opsin8x8(rgb, mats=None):
     """[T, 3, 8, 8] linear RGB -> XYB opsin (tile-confined blur)."""
     # blurred = BM @ rgb @ BM^T: out[..., i, l] = sum_{j,k} BM[i,j]
     # rgb[..., j, k] BM[l, k] -- row contraction uses BM rows on axis 3.
     if USE_DOT:
-        blurred = _transform2d(rgb, _BM, _BM)
+        blurred = _transform2d(rgb, mats[0], mats[0])
     else:
         blurred = _mat8(_f32, _BM, _mat8(_f32, _BM, rgb, axis=3), axis=2)
 
@@ -222,15 +222,14 @@ def _mhic(t0, t1):
     return mix * t0 + (1.0 - mix) * ave, mix * t1 + (1.0 - mix) * ave
 
 
-def _fft8_sq(x):
+def _fft8_sq(x, mats=None):
     """|2-D DFT|^2 of real [T, 8, 8] (y, x) -> [T, 8, 8] laid out
     [xfreq, yfreq] with the 0.000064 scale (butteraugli.cc:574-597)."""
     a = jnp.swapaxes(x, -1, -2)                  # [T, x, y]
     if USE_DOT:
-        gr = _transform2d(a, _DFT_RE, _DFT_RE) \
-            - _transform2d(a, _DFT_IM, _DFT_IM)
-        gi = _transform2d(a, _DFT_RE, _DFT_IM) \
-            + _transform2d(a, _DFT_IM, _DFT_RE)
+        wre_t, wim_t = mats[1], mats[2]
+        gr = _transform2d(a, wre_t, wre_t) - _transform2d(a, wim_t, wim_t)
+        gi = _transform2d(a, wre_t, wim_t) + _transform2d(a, wim_t, wre_t)
     else:
         t1r = _mat8(_f32, _DFT_RE, a, axis=1)
         t1i = _mat8(_f32, _DFT_IM, a, axis=1)
@@ -260,7 +259,7 @@ _CSF_MASK = np.zeros(64, dtype=np.float32)
 _CSF_MASK[4:37] = 1.0
 
 
-def _block_diff(b0, b1, d):
+def _block_diff(b0, b1, d, mats=None):
     """ButteraugliBlockDiff on [T, 3, 8, 8] (y, x) tiles -> three [T, 3]
     accumulators (dc, ac, edge_dc). `d` = masked CSF weights [8, 8]."""
     diff = b0 - b1
@@ -284,10 +283,10 @@ def _block_diff(b0, b1, d):
 
     bavg = (b0 + b1) * 0.5
     bhd = (b0 - b1) * 0.5
-    y_avg = _fft8_sq(bavg[:, 1])
-    x_hd = _fft8_sq(bhd[:, 0])
-    y_hd = _fft8_sq(bhd[:, 1])
-    z_hd = _fft8_sq(bhd[:, 2])
+    y_avg = _fft8_sq(bavg[:, 1], mats)
+    x_hd = _fft8_sq(bhd[:, 0], mats)
+    y_hd = _fft8_sq(bhd[:, 1], mats)
+    z_hd = _fft8_sq(bhd[:, 2], mats)
 
     ac_x = jnp.sum(d[None] * x_hd, axis=(-1, -2)) * _f32(
         consts.BLOCKDIFF_AC_XMUL)
@@ -310,7 +309,8 @@ def _block_diff(b0, b1, d):
 
 
 def _kernel(cand_ref, xyb0_ref, scale_ref, sy_ref, sx_ref, csfd_ref,
-            out_ref):
+            mats_ref, out_ref):
+    mats = mats_ref[...]
     vals = _idct_int(cand_ref[...])
     # Edge replication: v2 = Sy @ v @ Sx^T with per-tile 0/1 matrices.
     sy = sy_ref[...]
@@ -341,9 +341,9 @@ def _kernel(cand_ref, xyb0_ref, scale_ref, sy_ref, sx_ref, csfd_ref,
     rgb = jnp.clip(jnp.stack([r, g, b], axis=1), 0, 255)
 
     lin = _srgb_to_linear(rgb)
-    xyb1 = _opsin8x8(lin)
+    xyb1 = _opsin8x8(lin, mats)
     m0, m1 = _mhic(xyb0_ref[...], xyb1)
-    dc, ac, edge = _block_diff(m0, m1, csfd_ref[...])
+    dc, ac, edge = _block_diff(m0, m1, csfd_ref[...], mats)
 
     scale = scale_ref[...]                         # [T, 3]
     diff = jnp.sum((dc + ac) * scale, axis=1)
@@ -399,13 +399,16 @@ def _tile_compare_pallas(cand, xyb0_tiles, scales, sy, sx,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 8, 8), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TILE,), lambda i: (i,),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n,), jnp.float32),
         interpret=interpret,
     )(cand.reshape(-1, 3, 8, 8), xyb0_tiles, scales, sy, sx,
-      jnp.asarray((_CSF64 * _CSF_MASK).reshape(8, 8)))
+      jnp.asarray((_CSF64 * _CSF_MASK).reshape(8, 8)),
+      jnp.asarray(np.stack([_BM.T, _DFT_RE.T, _DFT_IM.T])))
     return out
 
 
@@ -422,9 +425,11 @@ def _matmul_last(x, mat_t):
         preferred_element_type=jnp.float32)
 
 
-def _transform2d(x, a, b):
-    """out = a @ x @ b^T for [..., 8, 8] via two last-axis dots."""
-    t = _matmul_last(x, jnp.asarray(b.T))          # [..., j, i]
+def _transform2d(x, a_t, b_t):
+    """out = a @ x @ b^T for [..., 8, 8] via two last-axis dots; a_t/b_t
+    are the transposed matrices as traced values (pallas kernels may not
+    capture array constants)."""
+    t = _matmul_last(x, b_t)                       # [..., j, i]
     t = jnp.swapaxes(t, -1, -2)                    # [..., i, j]
-    t = _matmul_last(t, jnp.asarray(a.T))          # [..., i, m] (sum_j a[m,j])
+    t = _matmul_last(t, a_t)                       # [..., i, m]
     return jnp.swapaxes(t, -1, -2)
