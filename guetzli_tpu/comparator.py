@@ -53,16 +53,6 @@ def _full_compare(coeffs, xyb0, bw, bh, w, h):
     return dm.score_from_diffmap(dmap), dmap
 
 
-@partial(jax.jit, static_argnames=("ybw", "ybh", "cbw", "cbh", "w", "h"))
-def _full_compare_420(y_coeffs, u_coeffs, v_coeffs, xyb0,
-                      ybw, ybh, cbw, cbh, w, h):
-    srgb = img_ops.coeffs420_to_srgb(y_coeffs, u_coeffs, v_coeffs,
-                                     ybw, ybh, cbw, cbh, w, h)
-    xyb1 = opsin_dynamics_image(img_ops.srgb_to_linear(srgb))
-    dmap = dm.diffmap_opsin_dynamics(xyb0, xyb1)
-    return dm.score_from_diffmap(dmap), dmap
-
-
 @partial(jax.jit, static_argnames=("bw", "bh", "w", "h"))
 def _chroma_byte_planes(u_coeffs, v_coeffs, bw, bh, w, h):
     return jnp.stack([
