@@ -48,6 +48,7 @@ def encode_rgb_to_jpeg(rgb, w, h, quant=None) -> jd.JpegData:
     iquant = (((1 << _K_IQUANT_BITS) + 1) // quant).astype(np.int64)
     for i in range(3):
         jpg.quant[i].values = quant[i].copy()
+        jpg.quant[i].precision = 1 if int(quant[i].max()) > 0xFF else 0
 
     # Pad to block grid by edge replication (the reference clamps x/y).
     bw, bh = jpg.MCU_cols, jpg.MCU_rows

@@ -114,3 +114,18 @@ def test_peek_dimensions(rgb96x64):
     assert reader.peek_dimensions(data) == (96, 64)
     assert reader.peek_dimensions(b"nope") is None
     assert reader.peek_dimensions(b"\xff\xd8\xff\xd9") is None
+
+
+def test_16bit_dqt_roundtrip(rgb96x64):
+    """Quant values over 255 use the 16-bit DQT encoding on both sides."""
+    from guetzli_tpu.codec.encoder import encode_rgb_to_jpeg
+    q = np.full((3, 64), 300, dtype=np.int32)
+    q[:, 0] = 1000
+    jpg = encode_rgb_to_jpeg(rgb96x64, 96, 64, quant=q)
+    data = writer.write_jpeg(jpg)
+    back = reader.read_jpeg(data)
+    for c in range(3):
+        np.testing.assert_array_equal(
+            back.quant[back.components[c].quant_idx].values, q[c])
+        np.testing.assert_array_equal(back.components[c].coeffs,
+                                      jpg.components[c].coeffs)
