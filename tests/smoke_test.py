@@ -50,7 +50,27 @@ def run(argv, stdin_path=None, stdout_path=None):
         sys.stdin, sys.stdout = old_in, old_out
 
 
+
+
+def _ensure_backend():
+    """Fall back to CPU when the TPU tunnel is wedged (a hung tunnel makes
+    jax.devices() block forever in-process; probe via subprocess)."""
+    import subprocess
+    import sys as _sys
+    try:
+        r = subprocess.run([_sys.executable, "-c",
+                            "import jax; jax.devices()"],
+                           timeout=180, capture_output=True)
+        ok = r.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        print("default backend unreachable; running on CPU")
+
 def main_smoke():
+    _ensure_backend()
     failures = []
     with tempfile.TemporaryDirectory() as tmp:
         tmp = pathlib.Path(tmp)
