@@ -56,10 +56,28 @@ class GuetzliOutput:
 @dataclass
 class ProcessStats:
     counters: dict = field(default_factory=dict)
+    timings: dict = field(default_factory=dict)
     debug: bool = False
 
     def inc(self, name, amount=1):
         self.counters[name] = self.counters.get(name, 0) + amount
+
+    def timed(self, name):
+        """Context manager accumulating wall time under timings[name]
+        (the jax.profiler/per-stage-timing analog of the reference's
+        gperftools + CL_QUEUE_PROFILING hooks, SURVEY.md §5)."""
+        import contextlib
+        import time as _t
+
+        @contextlib.contextmanager
+        def cm():
+            t0 = _t.time()
+            try:
+                yield
+            finally:
+                self.timings[name] = (self.timings.get(name, 0.0)
+                                      + _t.time() - t0)
+        return cm()
 
     def log(self, fmt, *args):
         if self.debug:
@@ -735,17 +753,21 @@ class Processor:
                         use_silver_screen=self.params.use_silver_screen)
                 jpg = img.save_to_jpeg_data(jpg)
             best_q = q_in.copy()
-            if not self.select_quant_matrix(jpg, downsample != 0, best_q,
-                                            img):
+            with self.stats.timed("select_quant_matrix"):
+                ok = self.select_quant_matrix(jpg, downsample != 0,
+                                              best_q, img)
+            if not ok:
                 best_q[:] = 1
             img.comps = st.CoeffImage.from_jpeg(jpg).comps
             img.apply_global_quantization(best_q)
-            if not downsample:
-                self.select_frequency_masking(jpg, img, 7, 1.0, False)
-            else:
-                ymul = 1.0 if len(jpg.components) == 1 else 0.97
-                self.select_frequency_masking(jpg, img, 1, ymul, False)
-                self.select_frequency_masking(jpg, img, 6, 1.0, True)
+            with self.stats.timed("select_frequency_masking"):
+                if not downsample:
+                    self.select_frequency_masking(jpg, img, 7, 1.0, False)
+                else:
+                    ymul = 1.0 if len(jpg.components) == 1 else 0.97
+                    self.select_frequency_masking(jpg, img, 1, ymul,
+                                                  False)
+                    self.select_frequency_masking(jpg, img, 6, 1.0, True)
         return True
 
 
