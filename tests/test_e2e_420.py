@@ -88,3 +88,31 @@ def test_try_420_picks_best():
     assert im.size == (96, 64)
     # Must not be worse than the 444-only result by more than the band.
     assert len(out) <= 2373
+
+
+def test_e2e_420_odd_size():
+    """Odd (non-multiple-of-16) geometry exercises chroma clamping,
+    padding blocks with DC propagation, and edge replication. The
+    reference encoder produced 2084 bytes for this 97x63 420 input (ours
+    matched byte-for-byte-count when captured)."""
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.open(FIXTURES / "bees97x63.png").save(
+        buf, format="JPEG", quality=90, subsampling=2)
+    params = Params()
+    params.butteraugli_target = consts.butteraugli_score_for_quality(95)
+    out = process_jpeg_bytes(params, buf.getvalue(), ProcessStats())
+    assert out is not None
+    assert abs(len(out) - 2084) <= 0.025 * 2084, len(out)
+
+
+def test_e2e_444_odd_size_png():
+    """97x63 PNG input: reference produced 3466 bytes."""
+    from guetzli_tpu.io.png import read_png
+    with open(FIXTURES / "bees97x63.png", "rb") as f:
+        rgb, w, h = read_png(f.read())
+    assert (w, h) == (97, 63)
+    params = Params()
+    params.butteraugli_target = consts.butteraugli_score_for_quality(95)
+    out = process_rgb(params, rgb, w, h, ProcessStats())
+    assert abs(len(out) - 3466) <= 0.025 * 3466, len(out)
