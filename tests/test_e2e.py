@@ -94,3 +94,41 @@ def test_grayscale_collapse():
     im.load()
     assert im.size == (48, 48)
     assert im.mode == "L", im.mode     # 1-component JPEG decodes as L
+
+
+def test_flat_image_degenerate_quant_search():
+    """All-flat image: the quant-matrix generator cannot create enough
+    butteraugli error and bails to all-ones (processor.cc:231-235).
+    Reference output for this input: 180 bytes; ours matched exactly."""
+    rgb = np.full((64, 96, 3), 130, dtype=np.uint8)
+    params = Params()
+    params.butteraugli_target = consts.butteraugli_score_for_quality(95)
+    out = process_rgb(params, rgb, 96, 64, ProcessStats())
+    assert abs(len(out) - 180) <= 10, len(out)
+
+
+def test_progressive_jpeg_input_golden(rgb96x64):
+    """Progressive 444 input end-to-end: reference produced 1862 bytes."""
+    import io as _io
+
+    from PIL import Image
+    from guetzli_tpu.search.processor import process_jpeg_bytes
+    buf = _io.BytesIO()
+    Image.fromarray(rgb96x64).save(buf, format="JPEG", quality=90,
+                                   subsampling=0, progressive=True)
+    params = Params()
+    params.butteraugli_target = consts.butteraugli_score_for_quality(95)
+    out = process_jpeg_bytes(params, buf.getvalue(), ProcessStats())
+    assert out is not None
+    assert abs(len(out) - 1862) <= 0.025 * 1862, len(out)
+
+
+def test_gray_png_golden(rgb96x64):
+    """Grayscale PNG: UV collapse; reference produced 1468 bytes."""
+    from PIL import Image
+    gray = np.asarray(Image.fromarray(rgb96x64).convert("L"))
+    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    params = Params()
+    params.butteraugli_target = consts.butteraugli_score_for_quality(95)
+    out = process_rgb(params, rgb, 96, 64, ProcessStats())
+    assert abs(len(out) - 1468) <= 0.025 * 1468, len(out)
