@@ -110,7 +110,12 @@ def main(argv=None) -> int:
         if not _check_memory(w * h, memlimit_mb):
             return 1
         from guetzli_tpu.search.processor import process_rgb
-        out = process_rgb(params, rgb, w, h, stats)
+        try:
+            out = process_rgb(params, rgb, w, h, stats)
+        except ValueError:
+            # e.g. quality below 84 (butteraugli target above 2.0); the
+            # processor already printed the reason (processor.cc:939-945).
+            return 1
 
     if out_name == "-":
         sys.stdout.buffer.write(out)

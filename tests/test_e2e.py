@@ -132,3 +132,21 @@ def test_gray_png_golden(rgb96x64):
     params.butteraugli_target = consts.butteraugli_score_for_quality(95)
     out = process_rgb(params, rgb, 96, 64, ProcessStats())
     assert abs(len(out) - 1468) <= 0.025 * 1468, len(out)
+
+
+def test_high_quality_sweep(rgb96x64):
+    """q100/q110 operate near-losslessly at the top of the quality LUT;
+    reference sizes 7980/8037 (ours matched 7966/8037 when captured)."""
+    for q, ref in ((100, 7980), (110, 8037)):
+        params = Params()
+        params.butteraugli_target = consts.butteraugli_score_for_quality(q)
+        out = process_rgb(params, rgb96x64, 96, 64, ProcessStats())
+        assert abs(len(out) - ref) <= 0.025 * ref, (q, len(out))
+
+
+def test_quality_below_84_rejected(rgb96x64):
+    """processor.cc:939-945: target above 2.0 is refused."""
+    params = Params()
+    params.butteraugli_target = consts.butteraugli_score_for_quality(80)
+    with pytest.raises(ValueError):
+        process_rgb(params, rgb96x64, 96, 64, ProcessStats())
