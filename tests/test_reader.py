@@ -129,3 +129,30 @@ def test_16bit_dqt_roundtrip(rgb96x64):
             back.quant[back.components[c].quant_idx].values, q[c])
         np.testing.assert_array_equal(back.components[c].coeffs,
                                       jpg.components[c].coeffs)
+
+
+def test_restart_marker_input(rgb96x64):
+    """DRI/RSTn inputs decode identically in both scan decoders and
+    encode at reference size (reference produced 1862 bytes)."""
+    from PIL import Image
+    import io as _io
+    buf = _io.BytesIO()
+    try:
+        Image.fromarray(rgb96x64).save(buf, format="JPEG", quality=90,
+                                       subsampling=0,
+                                       restart_marker_rows=2)
+    except TypeError:
+        pytest.skip("Pillow without restart marker support")
+    data = buf.getvalue()
+    assert b"\xff\xdd" in data
+    jpg_native = reader.read_jpeg(data)
+    assert jpg_native.restart_interval > 0
+    from guetzli_tpu import native
+    real = native.get_lib
+    native.get_lib = lambda: None
+    try:
+        jpg_python = reader.read_jpeg(data)
+    finally:
+        native.get_lib = real
+    for cn, cp in zip(jpg_native.components, jpg_python.components):
+        np.testing.assert_array_equal(cn.coeffs, cp.coeffs)
