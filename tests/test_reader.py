@@ -156,3 +156,26 @@ def test_restart_marker_input(rgb96x64):
         native.get_lib = real
     for cn, cp in zip(jpg_native.components, jpg_python.components):
         np.testing.assert_array_equal(cn.coeffs, cp.coeffs)
+
+
+def test_unsupported_samplings_rejected(rgb96x64):
+    """4:2:2 and CMYK inputs are rejected like the reference without
+    __SUPPORT_FULL_JPEG__ (processor.cc:946-963, 1150-1153)."""
+    import io as _io
+
+    from PIL import Image
+    from guetzli_tpu import consts
+    from guetzli_tpu.search.processor import (Params, ProcessStats,
+                                              process_jpeg_bytes)
+    params = Params()
+    params.butteraugli_target = consts.butteraugli_score_for_quality(95)
+    b422 = _io.BytesIO()
+    Image.fromarray(rgb96x64).save(b422, format="JPEG", quality=90,
+                                   subsampling=1)
+    assert process_jpeg_bytes(params, b422.getvalue(),
+                              ProcessStats()) is None
+    bcmyk = _io.BytesIO()
+    Image.fromarray(rgb96x64).convert("CMYK").save(bcmyk, format="JPEG",
+                                                   quality=90)
+    assert process_jpeg_bytes(params, bcmyk.getvalue(),
+                              ProcessStats()) is None
