@@ -150,3 +150,27 @@ def test_quality_below_84_rejected(rgb96x64):
     params.butteraugli_target = consts.butteraugli_score_for_quality(80)
     with pytest.raises(ValueError):
         process_rgb(params, rgb96x64, 96, 64, ProcessStats())
+
+
+def test_crash_recovery_replays_dispatch(rgb96x64, monkeypatch):
+    """A TPU-worker UNAVAILABLE during a compare fetch must rebuild device
+    state and replay the dispatch, not fail the encode."""
+    from guetzli_tpu import comparator as comp_mod
+
+    calls = {"n": 0}
+    real_fetch = comp_mod.Comparator.fetch_compare
+
+    def flaky_fetch(self, handle):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("UNAVAILABLE: TPU worker process crashed")
+        return real_fetch(self, handle)
+
+    monkeypatch.setattr(comp_mod.Comparator, "fetch_compare", flaky_fetch)
+    import time as _time
+    monkeypatch.setattr(_time, "sleep", lambda s: None)
+    params = Params()
+    params.butteraugli_target = consts.butteraugli_score_for_quality(95)
+    out = process_rgb(params, rgb96x64, 96, 64, ProcessStats())
+    assert calls["n"] > 3          # the failed fetch was retried
+    assert abs(len(out) - 2373) <= 0.02 * 2373
