@@ -177,6 +177,13 @@ class QuantMatrixGenerator:
                 return q
         return None
 
+    def clone(self):
+        g = QuantMatrixGenerator(self.downsample)
+        g.hscore_a = self.hscore_a
+        g.hscore_b = self.hscore_b
+        g.quants = list(self.quants)
+        return g
+
     def add(self, q, dist_ok):
         self.quants.append((q.copy(), dist_ok))
         hscore = quant_matrix_heuristic_score(q)
@@ -236,12 +243,21 @@ class Processor:
 
     # -- quant matrix selection (processor.cc:310-372) ----------------
 
-    def try_quant_matrix(self, jpg_in, target_mul, q, img: st.CoeffImage):
-        img.comps = st.CoeffImage.from_jpeg(jpg_in).comps
-        img.apply_global_quantization(q)
-        pending = self.comparator.dispatch_compare(img)
-        jpg_out = img.save_to_jpeg_data(jpg_in)
-        encoded = self.output_jpeg(jpg_out)
+    def _quant_eval_start(self, jpg_in, q):
+        """Prepare + dispatch one quant-matrix trial without side effects
+        (so trials can be issued speculatively): build the requantized
+        image, dispatch its compare, serialize the candidate JPEG."""
+        trial = st.CoeffImage.from_jpeg(jpg_in)
+        trial.apply_global_quantization(q)
+        pending = self.comparator.dispatch_compare(trial)
+        encoded = self.output_jpeg(trial.save_to_jpeg_data(jpg_in))
+        return trial, pending, encoded
+
+    def _quant_resolve(self, jpg_in, q, trial, pending, encoded, img,
+                       target_mul):
+        """Fetch + log + MaybeOutput for a prepared trial, in program
+        order (TryQuantMatrix, processor.cc:310-338)."""
+        img.comps = trial.comps
         self.stats.inc("iters")
         self.stats.log("Iter %2d: %s quantization matrix:\n",
                        self.stats.counters["iters"], _frame_type_str(img))
@@ -259,27 +275,75 @@ class Processor:
 
     def select_quant_matrix(self, jpg_in, downsample, best_q,
                             img: st.CoeffImage):
+        """SelectQuantMatrix (processor.cc:340-372) with optional 1-deep
+        speculation: while a trial's compare is in flight, the successor
+        candidates for both outcomes of the binary search are prepared and
+        dispatched, so consecutive trials overlap on the device. Results
+        are identical to the serial loop (the discarded branch is never
+        fetched or logged)."""
+        import os
+
+        import jax
         qgen = QuantMatrixGenerator(downsample)
         target_mul_high = 0.97
         target_mul_low = 0.95
+        env = os.environ.get("GUETZLI_TPU_SPECULATE")
+        if env is None:
+            # Speculative trials pay ~2x device compute for ~2x less
+            # round-trip latency: a win on remote/tunneled accelerators,
+            # a loss on the compute-bound CPU backend.
+            speculate = jax.default_backend() != "cpu"
+        else:
+            speculate = env != "0"
 
-        best = (best_q.copy(),) + self.try_quant_matrix(
-            jpg_in, target_mul_high, best_q, img)
+        cur_q = best_q.copy()
+        cur = self._quant_eval_start(jpg_in, cur_q)
+        initial = True
+        best = None
         while True:
-            q_next = qgen.get_next()
-            if q_next is None:
-                break
-            data = (q_next,) + self.try_quant_matrix(
-                jpg_in, target_mul_high, q_next, img)
-            qgen.add(q_next, data[1])
-            # CompareQuantData (processor.cc:162-166)
-            better = ((data[1] and not best[1])
-                      or (data[1] == best[1] and data[2] < best[2]))
-            if better:
-                best = data
-                if data[1] and not self.comparator.distance_ok(
-                        target_mul_low):
+            spec = {}
+            if speculate:
+                for outcome in ((True, False) if not initial else (True,)):
+                    g2 = qgen.clone()
+                    if not initial:
+                        g2.add(cur_q, outcome)
+                    qn = g2.get_next()
+                    if qn is not None:
+                        spec[outcome] = (g2, qn,
+                                         self._quant_eval_start(jpg_in,
+                                                                qn))
+                if initial and True in spec:
+                    # No Add happens for the initial trial: both branches
+                    # share the same successor.
+                    spec[False] = spec[True]
+
+            dist_ok, size = self._quant_resolve(
+                jpg_in, cur_q, *cur, img, target_mul_high)
+
+            if initial:
+                best = (cur_q.copy(), dist_ok, size)
+                initial = False
+            else:
+                qgen.add(cur_q, dist_ok)
+                better = ((dist_ok and not best[1])
+                          or (dist_ok == best[1] and size < best[2]))
+                if better:
+                    best = (cur_q.copy(), dist_ok, size)
+                    if dist_ok and not self.comparator.distance_ok(
+                            target_mul_low):
+                        break
+
+            if speculate:
+                branch = spec.get(dist_ok)
+                if branch is None:
                     break
+                qgen, cur_q, cur = branch[0], branch[1], branch[2]
+            else:
+                qn = qgen.get_next()
+                if qn is None:
+                    break
+                cur_q = qn
+                cur = self._quant_eval_start(jpg_in, qn)
         best_q[:] = best[0]
         return best[1]
 
