@@ -174,3 +174,26 @@ def test_crash_recovery_replays_dispatch(rgb96x64, monkeypatch):
     out = process_rgb(params, rgb96x64, 96, 64, ProcessStats())
     assert calls["n"] > 3          # the failed fetch was retried
     assert abs(len(out) - 2373) <= 0.02 * 2373
+
+
+@pytest.mark.parametrize("kind,ref_bytes", [
+    ("ramp", 442), ("checkerboard", 1152), ("red", 258),
+])
+def test_stress_extremes(kind, ref_bytes):
+    """Synthetic extreme images; reference encoder sizes captured from the
+    same pixels (ours matched byte-for-byte-count on capture)."""
+    if kind == "ramp":
+        rgb = np.dstack([np.indices((80, 112))[1] * 2 % 256] * 3)
+    elif kind == "checkerboard":
+        rgb = (np.indices((96, 96)).sum(0) % 2 * 255)[..., None] \
+            .repeat(3, 2)
+    else:
+        rgb = np.dstack([np.full((72, 104), 255), np.zeros((72, 104)),
+                         np.zeros((72, 104))])
+    rgb = rgb.astype(np.uint8)
+    h, w = rgb.shape[:2]
+    params = Params()
+    params.butteraugli_target = consts.butteraugli_score_for_quality(95)
+    out = process_rgb(params, rgb, w, h, ProcessStats())
+    assert abs(len(out) - ref_bytes) <= max(10, 0.025 * ref_bytes), \
+        (kind, len(out))
