@@ -116,3 +116,19 @@ def test_e2e_444_odd_size_png():
     params.butteraugli_target = consts.butteraugli_score_for_quality(95)
     out = process_rgb(params, rgb, w, h, ProcessStats())
     assert abs(len(out) - 3466) <= 0.025 * 3466, len(out)
+
+
+def test_silver_screen_force_420():
+    """use_silver_screen routes Downsample through the iterative
+    RGB->YUV420 refinement (output_image.cc:540-548); output must decode
+    and land under target like the normal 420 path."""
+    from guetzli_tpu.io.png import read_png
+    with open(FIXTURES / "bees96x64.png", "rb") as f:
+        rgb, w, h = read_png(f.read())
+    params = Params(force_420=True, use_silver_screen=True)
+    params.butteraugli_target = consts.butteraugli_score_for_quality(95)
+    out = process_rgb(params, rgb, w, h, ProcessStats())
+    from PIL import Image
+    im = Image.open(io.BytesIO(out))
+    im.load()
+    assert im.size == (96, 64)
