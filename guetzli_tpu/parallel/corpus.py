@@ -34,10 +34,16 @@ from guetzli_tpu.search import zeroing
 
 def make_mesh(n_devices, batch=None):
     """('batch', 'tile') mesh over the first n devices."""
+    avail = jax.devices()
+    if len(avail) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices but only {len(avail)} available; "
+            "for CPU simulation set XLA_FLAGS="
+            "--xla_force_host_platform_device_count=N and JAX_PLATFORMS=cpu")
     if batch is None:
         batch = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
     tile = n_devices // batch
-    devices = np.asarray(jax.devices()[:n_devices]).reshape(batch, tile)
+    devices = np.asarray(avail[:n_devices]).reshape(batch, tile)
     return jax.sharding.Mesh(devices, ("batch", "tile"))
 
 
