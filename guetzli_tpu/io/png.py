@@ -2,14 +2,19 @@
 
 The reference uses libpng with PACKING|EXPAND|STRIP_16 transforms and blends
 alpha on black with integer rounding `(val*alpha + 128) / 255`
-(guetzli.cc:47-49). Decoding is delegated to Pillow (the libpng analog in
-this image); the channel handling and blending reproduce the reference
-exactly.
+(guetzli.cc:47-49). The primary decoder is our native C++ one
+(native/src/png_decode.cc, the libpng analog: zlib inflate, all five
+filters, Adam7, palette/tRNS, 16-bit strip); Pillow is the fallback when
+the toolchain is missing. Both reproduce the reference's channel handling
+and blending exactly.
 """
 
+import ctypes
 import io
 
 import numpy as np
+
+from guetzli_tpu import native
 
 
 def blend_on_black(val, alpha):
@@ -18,8 +23,33 @@ def blend_on_black(val, alpha):
         .astype(np.uint8)
 
 
+def _read_png_native(data: bytes):
+    lib = native.get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    w = ctypes.c_int32()
+    h = ctypes.c_int32()
+    rc = lib.gt_png_dims(buf.ctypes.data_as(ctypes.c_void_p),
+                         ctypes.c_int64(len(data)),
+                         ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        return None  # not PNG / truncated header -> let PIL report it
+    out = np.empty((h.value, w.value, 3), dtype=np.uint8)
+    rc = lib.gt_png_decode(buf.ctypes.data_as(ctypes.c_void_p),
+                           ctypes.c_int64(len(data)),
+                           out.ctypes.data_as(ctypes.c_void_p),
+                           ctypes.c_int64(out.size))
+    if rc != 0:
+        return None  # unsupported subset -> PIL fallback
+    return out, w.value, h.value
+
+
 def read_png(data: bytes):
     """Decode PNG bytes -> (rgb uint8 [h, w, 3], width, height)."""
+    res = _read_png_native(data)
+    if res is not None:
+        return res
     from PIL import Image
     im = Image.open(io.BytesIO(data))
     if im.mode == "P":

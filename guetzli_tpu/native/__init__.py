@@ -12,7 +12,7 @@ import pathlib
 import subprocess
 
 _DIR = pathlib.Path(__file__).parent
-_SRC = _DIR / "src" / "native.cc"
+_SRCS = [_DIR / "src" / "native.cc", _DIR / "src" / "png_decode.cc"]
 _LIB = _DIR / "_cache" / "libguetzli_native.so"
 
 _lib = None
@@ -22,11 +22,11 @@ _tried = False
 def _build():
     _LIB.parent.mkdir(exist_ok=True)
     stamp = _LIB.with_suffix(".stamp")
-    src_mtime = str(_SRC.stat().st_mtime_ns)
+    src_mtime = ",".join(str(s.stat().st_mtime_ns) for s in _SRCS)
     if _LIB.exists() and stamp.exists() and stamp.read_text() == src_mtime:
         return True
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", str(_LIB), str(_SRC)]
+    cmd = (["g++", "-O3", "-march=native", "-shared", "-fPIC",
+            "-o", str(_LIB)] + [str(s) for s in _SRCS] + ["-lz"])
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except (OSError, subprocess.SubprocessError):
@@ -51,5 +51,8 @@ def get_lib():
         return None
     lib.gt_encode_scan.restype = ctypes.c_int64
     lib.gt_decode_scan.restype = ctypes.c_int64
+    lib.gt_backend_flips.restype = ctypes.c_int64
+    lib.gt_png_dims.restype = ctypes.c_int64
+    lib.gt_png_decode.restype = ctypes.c_int64
     _lib = lib
     return _lib

@@ -13,6 +13,17 @@ import os
 def configure(cache_dir=None):
     """Enable the persistent XLA compilation cache. Call before first jit."""
     import jax
+    # The axon TPU plugin patches get_backend and force-initializes its
+    # client even when JAX_PLATFORMS names another platform, which hangs
+    # forever when the tunnel is down. It does respect the jax config, so
+    # mirror the env var there to keep `JAX_PLATFORMS=cpu guetzli-tpu ...`
+    # honest.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     cache_dir = cache_dir or os.path.expanduser("~/.cache/guetzli_tpu_xla")
     try:
         os.makedirs(cache_dir, exist_ok=True)
