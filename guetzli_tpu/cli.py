@@ -38,6 +38,7 @@ def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     verbose = False
     fast_zeroing = False
+    check_kernels = False
     quality = K_DEFAULT_QUALITY
     memlimit_mb = K_DEFAULT_MEMLIMIT_MB
     opt_idx = 0
@@ -60,7 +61,9 @@ def main(argv=None) -> int:
             # clguetzli.cl:849-852); same speed/quality trade here.
             fast_zeroing = True
         elif flag in ("--checkcl", "--checkcuda"):
-            pass  # covered by the test suite's parity fixtures
+            # Runtime dual-execution verification of the alternative
+            # kernels on this input (clguetzli_test.cpp analog).
+            check_kernels = True
         elif flag == "--profile":
             # gperftools analog (guetzli.cc:32-34): dump an XLA/TPU trace.
             opt_idx += 1
@@ -97,6 +100,12 @@ def main(argv=None) -> int:
         if dims is not None and not _check_memory(dims[0] * dims[1],
                                                  memlimit_mb):
             return 1
+        if check_kernels:
+            from guetzli_tpu.checkcl import run_checkcl
+            from guetzli_tpu.codec.reader import read_jpeg
+            from guetzli_tpu.search.processor import decode_jpeg_to_rgb
+            jpg = read_jpeg(data)
+            run_checkcl(decode_jpeg_to_rgb(jpg), jpg.width, jpg.height)
         out = process_jpeg_bytes(params, data, stats)
         if out is None:
             return 1
@@ -109,6 +118,9 @@ def main(argv=None) -> int:
             return 1
         if not _check_memory(w * h, memlimit_mb):
             return 1
+        if check_kernels:
+            from guetzli_tpu.checkcl import run_checkcl
+            run_checkcl(rgb, w, h)
         from guetzli_tpu.search.processor import process_rgb
         try:
             out = process_rgb(params, rgb, w, h, stats)

@@ -35,6 +35,8 @@ def _read_png_native(data: bytes):
                          ctypes.byref(w), ctypes.byref(h))
     if rc != 0:
         return None  # not PNG / truncated header -> let PIL report it
+    if w.value * h.value > 1 << 30:
+        return None  # absurd header dims (corrupt file): don't allocate
     out = np.empty((h.value, w.value, 3), dtype=np.uint8)
     rc = lib.gt_png_decode(buf.ctypes.data_as(ctypes.c_void_p),
                            ctypes.c_int64(len(data)),

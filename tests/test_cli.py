@@ -37,3 +37,20 @@ def test_jpeg_memlimit_guard(tmp_path, capsys):
     assert cli.main(["--memlimit", "50", str(p),
                      str(tmp_path / "o.jpg")]) == 1
     assert "Memory limit" in capsys.readouterr().err
+
+
+def test_checkcl_runs_kernel_verification(capsys):
+    """--checkcl runs the dual-execution kernel check (clguetzli_test.cpp
+    analog) on the input image: Pallas tile-compare vs the XLA pipeline,
+    and the halo-exchange sharded blur vs single-device blur (the conftest
+    provides 8 virtual devices)."""
+    from pathlib import Path
+
+    from guetzli_tpu.checkcl import run_checkcl
+    from guetzli_tpu.io.png import read_png
+    rgb, w, h = read_png(
+        (Path(__file__).parent / "fixtures" / "bees96x64.png").read_bytes())
+    assert run_checkcl(rgb, w, h) == 0
+    err = capsys.readouterr().err
+    assert "tile_compare(pallas): 0/" in err
+    assert "blur(sharded): 0/" in err

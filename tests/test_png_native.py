@@ -133,3 +133,26 @@ def test_read_png_uses_native():
     data = (FIXTURES / "bees96x64.png").read_bytes()
     rgb, w, h = png_io.read_png(data)
     assert (w, h, rgb.shape) == (96, 64, (64, 96, 3))
+
+
+def test_native_fuzz_no_crash():
+    """Deterministic mutation fuzz of the native decoder (the fuzz_target.cc
+    pattern applied to PNG ingest): truncations and byte flips of valid
+    files must return None or a well-formed array, never crash."""
+    rng = np.random.default_rng(0xC0FFEE)
+    seeds = [
+        _png_bytes(_rng_img(23, 17, "RGBA", seed=1)),
+        _png_bytes(_rng_img(16, 16, "RGB", seed=2), interlace=True),
+        _png_bytes(_rng_img(20, 10, "RGB", seed=3).quantize(colors=7)),
+    ]
+    for data in seeds:
+        for cut in rng.integers(1, len(data), 40):
+            png_io._read_png_native(data[:int(cut)])
+        for _ in range(120):
+            mutated = bytearray(data)
+            for pos in rng.integers(0, len(data), int(rng.integers(1, 4))):
+                mutated[int(pos)] ^= int(rng.integers(1, 256))
+            res = png_io._read_png_native(bytes(mutated))
+            if res is not None:
+                rgb, w, h = res
+                assert rgb.shape == (h, w, 3)
