@@ -43,21 +43,26 @@ def ac_symbols(coeffs):
     number of end-of-block symbols. Mirrors UpdateACHistogramForDCTBlock
     (jpeg_data_writer.cc:188-209).
     """
-    zig = coeffs[:, consts.JPEG_NATURAL_ORDER[1:64]].astype(np.int64)
-    nb = coeffs.shape[0]
-    ks = np.arange(1, 64, dtype=np.int64)
-    mask = zig != 0
-    lastnz = np.maximum.accumulate(np.where(mask, ks[None, :], 0), axis=1)
-    prev = np.concatenate(
-        [np.zeros((nb, 1), dtype=np.int64), lastnz[:, :-1]], axis=1)
-    run = ks[None, :] - prev - 1
-    f0 = (run >> 4)
-    rr = run - (f0 << 4)
-    nbits = log2floor(np.abs(zig)) + 1
-    sym = (rr << 4) + nbits
-    symbols = sym[mask].astype(np.int32)
-    f0_count = int(f0[mask].sum())
-    eob_count = int(np.sum(lastnz[:, -1] < 63)) if nb else 0
+    zig = coeffs[:, consts.JPEG_NATURAL_ORDER[1:64]]
+    nb = zig.shape[0]
+    rows, ks = np.nonzero(zig)           # row-major: ks ascending per row
+    if rows.size == 0:
+        return np.empty(0, np.int32), 0, nb
+    vals = zig[rows, ks].astype(np.int64)
+    first = np.empty(rows.size, dtype=bool)
+    first[0] = True
+    np.not_equal(rows[1:], rows[:-1], out=first[1:])
+    # run of zeros before each nonzero: k - prev_k - 1 with k = ks+1 and
+    # prev_k = 0 at the start of a row.
+    run = ks - np.concatenate([[0], ks[:-1]]) - 1
+    run[first] = ks[first]
+    nbits = np.searchsorted(_POW2, np.abs(vals), side="right")
+    symbols = (((run & 15) << 4) + nbits).astype(np.int32)
+    f0_count = int((run >> 4).sum())
+    last = np.empty(rows.size, dtype=bool)
+    last[-1] = True
+    np.not_equal(rows[1:], rows[:-1], out=last[:-1])
+    eob_count = nb - int(np.count_nonzero(ks[last] == 62))
     return symbols, f0_count, eob_count
 
 
@@ -88,7 +93,7 @@ def build_dc_histograms(jpg) -> list:
         order = dc_scan_order(comp, jpg.MCU_rows, jpg.MCU_cols)
         dcs = comp.coeffs[order, 0].astype(np.int64)
         diffs = np.abs(np.diff(np.concatenate([[0], dcs])))
-        nbits = log2floor(diffs) + 1
+        nbits = np.searchsorted(_POW2, diffs, side="right")
         h = new_histogram()
         h[:256] += 2 * np.bincount(nbits, minlength=256)[:256].astype(
             np.int64)
