@@ -26,14 +26,16 @@ APP0_JFIF = bytes([
 
 def rgb_to_yuv16(rgb):
     """[..., 3] uint8 -> [..., 3] int16 YCbCr in [-128, 127]."""
-    r = rgb[..., 0].astype(np.int64)
-    g = rgb[..., 1].astype(np.int64)
-    b = rgb[..., 2].astype(np.int64)
+    r = rgb[..., 0].astype(np.int32)
+    g = rgb[..., 1].astype(np.int32)
+    b = rgb[..., 2].astype(np.int32)
     half = 1 << 15
-    y = (19595 * r + 38469 * g + 7471 * b - (128 << 16) + half) >> 16
-    cb = (-11059 * r - 21709 * g + 32768 * b + half - 1) >> 16
-    cr = (32768 * r - 27439 * g - 5329 * b + half - 1) >> 16
-    return np.stack([y, cb, cr], axis=-1).astype(np.int16)
+    out = np.empty(rgb.shape, dtype=np.int16)
+    out[..., 0] = (19595 * r + 38469 * g + 7471 * b
+                   - (128 << 16) + half) >> 16
+    out[..., 1] = (-11059 * r - 21709 * g + 32768 * b + half - 1) >> 16
+    out[..., 2] = (32768 * r - 27439 * g - 5329 * b + half - 1) >> 16
+    return out
 
 
 def encode_rgb_to_jpeg(rgb, w, h, quant=None) -> jd.JpegData:
