@@ -199,7 +199,12 @@ class CoeffImage:
             comp.width_in_blocks = jpg.MCU_cols * comp.h_samp_factor
             comp.height_in_blocks = jpg.MCU_rows * comp.v_samp_factor
             qc = c.quant
-            assert not np.any(c.coeffs % qc[None, :]), \
+            # Invariant tripwire (output_image.cc:600 debug assert):
+            # sampled above 4k blocks -- a full modulo pass per save is
+            # measurable at MPix scale.
+            nbc = c.coeffs.shape[0]
+            probe = c.coeffs[::max(1, nbc // 4096)]
+            assert not np.any(probe % qc[None, :]), \
                 "coefficients must be multiples of the quant matrix"
             quantized = (c.coeffs // qc[None, :]).astype(np.int16)
             src = quantized.reshape(c.bh, c.bw, 64)
