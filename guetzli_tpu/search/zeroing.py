@@ -170,8 +170,14 @@ def compute_zeroing_order_staged(blocks, orig_blocks, limit, aux, mode,
 
     Same results as the single-loop version, host-reassembled into the
     original block order. Returns (out_idx, out_err_monotonic, num).
+
+    `limit` may be a scalar (single image) or an [NB] vector (per-block
+    error limits -- blocks of several lockstep-batched images concatenated,
+    each carrying its own image's limit; see NOTES.md lockstep design).
     """
     nb = blocks.shape[0]
+    limit = np.asarray(limit, dtype=np.float32)
+    per_block_limit = limit.ndim == 1
     chan_ok = np.array([(comp_mask >> c) & 1 for c in range(3)], bool)
     valid = (np.asarray(blocks) != 0) & chan_ok[None, :, None]
     valid[:, :, 0] = False
@@ -183,6 +189,7 @@ def compute_zeroing_order_staged(blocks, orig_blocks, limit, aux, mode,
     blocks_p = jnp.asarray(np.asarray(blocks)[perm])
     orig_p = jnp.asarray(np.asarray(orig_blocks)[perm])
     aux_p = tuple(jnp.asarray(np.asarray(a)[perm]) for a in aux)
+    limit_p = jnp.asarray(limit[perm] if per_block_limit else limit)
 
     scores = candidate_scores(blocks_p, orig_p, comp_mask, new_model)
     order0 = jnp.argsort(scores, axis=1).astype(jnp.int32)
@@ -206,7 +213,7 @@ def compute_zeroing_order_staged(blocks, orig_blocks, limit, aux, mode,
         max_t = int(sorted_counts[nxt]) if nxt is not None else total
         if max_t <= t_done:
             max_t = total
-        state = _zeroing_stage(state, limit, aux_p, mode, comp_mask,
+        state = _zeroing_stage(state, limit_p, aux_p, mode, comp_mask,
                                lookahead, early_exit,
                                max_t=jnp.int32(max_t))
         t_done = max_t
@@ -219,6 +226,8 @@ def compute_zeroing_order_staged(blocks, orig_blocks, limit, aux, mode,
         out_err_np[nxt:size] = oe[nxt:size]
         state = tuple(x[:nxt] for x in state[:5]) + (state[5],)
         aux_p = tuple(a[:nxt] for a in aux_p)
+        if per_block_limit:
+            limit_p = limit_p[:nxt]
         size = nxt
 
     oi, oe = np.asarray(state[3]), np.asarray(state[4])
@@ -229,7 +238,8 @@ def compute_zeroing_order_staged(blocks, orig_blocks, limit, aux, mode,
     out_idx_np = out_idx_np[inv_perm]
     out_err_np = out_err_np[inv_perm]
     rev_min = np.minimum.accumulate(out_err_np[:, ::-1], axis=1)[:, ::-1]
-    num = np.sum(rev_min <= limit, axis=1).astype(np.int32)
+    lim_col = limit[:, None] if per_block_limit else limit
+    num = np.sum(rev_min <= lim_col, axis=1).astype(np.int32)
     return out_idx_np, rev_min, num
 
 
@@ -317,7 +327,9 @@ def compute_zeroing_order_with(blocks, orig_blocks, limit, aux, mode,
 
     # Monotonic pass: suffix min (processor.cc:467-472), then cutoff at the
     # block error limit (:473-479). The suffix-min is non-decreasing, so the
-    # entries at or below the limit form a prefix.
+    # entries at or below the limit form a prefix. `limit` may be a scalar
+    # or an [NB] per-block vector (lockstep-batched images).
     rev_min = jax.lax.cummin(out_err[:, ::-1], axis=1)[:, ::-1]
-    num = jnp.sum(rev_min <= limit, axis=1).astype(jnp.int32)
+    lim_col = limit if jnp.ndim(limit) == 0 else limit[:, None]
+    num = jnp.sum(rev_min <= lim_col, axis=1).astype(jnp.int32)
     return out_idx, rev_min, num

@@ -117,3 +117,50 @@ def test_sharded_search_step_numerics():
             jnp.float32(1.0))
         np.testing.assert_allclose(np.asarray(errs_sharded[i]),
                                    np.asarray(errs1), rtol=1e-3, atol=1e-3)
+
+
+def test_zeroing_per_block_limits_match_separate_runs():
+    """Lockstep-batching foundation: blocks of two images concatenated with
+    a per-block limit vector must produce bit-identical zeroing orders to
+    two separate single-image runs (NOTES.md lockstep design, step 3)."""
+    import numpy as np
+
+    from tests.conftest import FIXTURES
+
+    from guetzli_tpu.codec.encoder import encode_rgb_to_jpeg
+    from guetzli_tpu.comparator import Comparator
+    from guetzli_tpu.io.png import read_png
+    from guetzli_tpu.search import zeroing
+
+    def inputs(name, qv):
+        rgb, w, h = read_png((FIXTURES / name).read_bytes())
+        jpg = encode_rgb_to_jpeg(
+            rgb, w, h, quant=np.full((3, 64), qv, dtype=np.int32))
+        blocks = np.transpose(
+            np.stack([c.coeffs.astype(np.int32) * qv
+                      for c in jpg.components]), (1, 0, 2)).copy()
+        comp = Comparator(rgb, w, h, 1.0)
+        comp.start_block_comparisons()
+        aux = tuple(np.asarray(a) for a in comp.block_state(1, 1))
+        return blocks, aux
+
+    blocks_a, aux_a = inputs("bees96x64.png", 16)
+    blocks_b, aux_b = inputs("synth128x96.png", 24)
+    lim_a, lim_b = np.float32(0.6), np.float32(1.3)
+
+    run = zeroing.compute_zeroing_order_staged
+    sep_a = run(blocks_a, blocks_a, lim_a, aux_a, "444", 7)
+    sep_b = run(blocks_b, blocks_b, lim_b, aux_b, "444", 7)
+
+    cat_blocks = np.concatenate([blocks_a, blocks_b])
+    cat_aux = tuple(np.concatenate([a, b])
+                    for a, b in zip(aux_a, aux_b))
+    limits = np.concatenate([
+        np.full(len(blocks_a), lim_a, np.float32),
+        np.full(len(blocks_b), lim_b, np.float32)])
+    cat = run(cat_blocks, cat_blocks, limits, cat_aux, "444", 7)
+
+    na = len(blocks_a)
+    for i, (sa, sb) in enumerate(zip(sep_a, sep_b)):
+        np.testing.assert_array_equal(cat[i][:na], sa, err_msg=f"A[{i}]")
+        np.testing.assert_array_equal(cat[i][na:], sb, err_msg=f"B[{i}]")
