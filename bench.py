@@ -29,20 +29,46 @@ def _probe_backend(timeout_s=180):
     import subprocess
     try:
         r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); print(d[0].platform); "
+             "import jax.numpy as jnp; "
+             "assert float(jnp.ones((64, 64)).sum()) == 4096.0"],
             timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
+        if r.returncode != 0:
+            return False
+        # jax silently falls back to CPU when an accelerator plugin fails
+        # to initialize, so returncode alone is a false positive: require
+        # a non-cpu platform to actually answer a computation.
+        return r.stdout.decode().strip() != "cpu"
     except subprocess.TimeoutExpired:
         return False
 
 
+def _reexec_without_accel_plugin():
+    """Re-exec with the accelerator plugin's site dir stripped from
+    PYTHONPATH. The plugin monkey-patches jax.get_backend and initializes
+    its client even when jax_platforms names cpu; when the device tunnel
+    is wedged in a half-open state that init hangs forever, so the only
+    reliable CPU fallback is a process where the plugin never registers."""
+    import os
+    env = dict(os.environ)
+    parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+             if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join(parts)
+    env["JAX_PLATFORMS"] = "cpu"
+    os.execve(sys.executable,
+              [sys.executable, os.path.abspath(__file__), "--force-cpu"],
+              env)
+
+
 def main():
-    if not _probe_backend():
-        sys.stderr.write("default backend unreachable; benching on CPU\n")
-        import jax
+    force_cpu = "--force-cpu" in sys.argv
+    if not force_cpu and not _probe_backend():
+        sys.stderr.write("accelerator unreachable; benching on CPU\n")
+        _reexec_without_accel_plugin()
+    import jax
+    if force_cpu:
         jax.config.update("jax_platforms", "cpu")
-    else:
-        import jax
     from guetzli_tpu.runtime import configure
     configure()
     from guetzli_tpu import consts
