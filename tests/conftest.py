@@ -8,6 +8,10 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+# The plugin's sitecustomize sets JAX_PLATFORMS at interpreter start;
+# overwrite it BEFORE importing jax -- the config pin below alone does not
+# stop a wedged device tunnel from hanging backend init.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
