@@ -10,6 +10,37 @@ geometry start hot).
 import os
 
 
+def accelerator_reachable(timeout_s=180):
+    """Probe (in a subprocess -- a wedged tunnel hangs in-process forever)
+    whether a non-cpu backend can actually run a computation. jax falls
+    back to CPU silently when a plugin fails, so the exit code alone is a
+    false positive."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform); "
+             "import jax.numpy as jnp; "
+             "assert float(jnp.ones((64, 64)).sum()) == 4096.0"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0 and r.stdout.decode().strip() != "cpu"
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def force_cpu():
+    """Pin the CPU backend both via the environment (read at jax import;
+    overwrites any value a plugin's sitecustomize set at interpreter
+    start) and the config (when jax is already imported)."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+
 def configure(cache_dir=None):
     """Enable the persistent XLA compilation cache. Call before first jit."""
     import jax

@@ -13,21 +13,12 @@ sys.path.insert(0, str(REPO))
 
 
 def _ensure_backend():
-    """Fall back to CPU when the TPU tunnel is wedged (a hung tunnel makes
-    jax.devices() block forever in-process; probe via subprocess)."""
-    import subprocess
-    import sys as _sys
-    try:
-        r = subprocess.run([_sys.executable, "-c",
-                            "import jax; jax.devices()"],
-                           timeout=180, capture_output=True)
-        ok = r.returncode == 0
-    except subprocess.TimeoutExpired:
-        ok = False
-    if not ok:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-        print("default backend unreachable; running on CPU")
+    """Fall back to CPU when the accelerator tunnel is wedged or silently
+    absent (see runtime.accelerator_reachable)."""
+    from guetzli_tpu import runtime
+    if not runtime.accelerator_reachable():
+        runtime.force_cpu()
+        print("accelerator unreachable; running on CPU")
 
 def main():
     _ensure_backend()
