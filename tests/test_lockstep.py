@@ -1,0 +1,66 @@
+"""Lockstep corpus quant search vs the serial per-image search.
+
+The lockstep driver interleaves dispatch/fetch across images; every
+image's decision sequence, chosen quant matrix, logged iterations and
+best-so-far output must be identical to running
+Processor.select_quant_matrix serially per image.
+"""
+
+import numpy as np
+
+from tests.conftest import FIXTURES
+
+from guetzli_tpu import consts
+from guetzli_tpu.codec.encoder import encode_rgb_to_jpeg
+from guetzli_tpu.comparator import Comparator
+from guetzli_tpu.io.png import read_png
+from guetzli_tpu.parallel.lockstep import lockstep_select_quant_matrix
+from guetzli_tpu.search import state as st
+from guetzli_tpu.search.processor import (Params, Processor, ProcessStats,
+                                          _copy_jpeg)
+
+_NAMES = ("bees96x64.png", "synth128x96.png", "bees97x63.png")
+
+
+def _setup(name):
+    """Replicate process_jpeg_data's pre-quant steps for one image."""
+    rgb, w, h = read_png((FIXTURES / name).read_bytes())
+    jpg_in = encode_rgb_to_jpeg(rgb, w, h)
+    params = Params()
+    params.butteraugli_target = consts.butteraugli_score_for_quality(95)
+    comp = Comparator(rgb, w, h, params.butteraugli_target)
+    proc = Processor(params, comp, ProcessStats())
+    proc.final.score = -1
+    jpg = _copy_jpeg(jpg_in)
+    q_in = st.remove_original_quantization(jpg)
+    img = st.CoeffImage.from_jpeg(jpg)
+    return proc, jpg, q_in.copy(), img
+
+
+def test_lockstep_quant_matches_serial(monkeypatch):
+    monkeypatch.setenv("GUETZLI_TPU_SPECULATE", "0")
+
+    serial = []
+    for name in _NAMES:
+        proc, jpg, best_q, img = _setup(name)
+        ok = proc.select_quant_matrix(jpg, False, best_q, img)
+        serial.append((ok, best_q, proc.stats.counters["iters"],
+                       proc.final.jpeg_data, proc.final.score))
+
+    procs, jpgs, best_qs, imgs = [], [], [], []
+    for name in _NAMES:
+        proc, jpg, best_q, img = _setup(name)
+        procs.append(proc)
+        jpgs.append(jpg)
+        best_qs.append(best_q)
+        imgs.append(img)
+    oks = lockstep_select_quant_matrix(
+        procs, jpgs, [False] * len(_NAMES), best_qs, imgs)
+
+    for i, name in enumerate(_NAMES):
+        s_ok, s_q, s_iters, s_out, s_score = serial[i]
+        assert oks[i] == s_ok, name
+        np.testing.assert_array_equal(best_qs[i], s_q, err_msg=name)
+        assert procs[i].stats.counters["iters"] == s_iters, name
+        assert procs[i].final.jpeg_data == s_out, name
+        assert procs[i].final.score == s_score, name
