@@ -15,6 +15,10 @@ MaybeOutput exactly as in the serial path); only the dispatch/fetch
 ordering is interleaved.
 """
 
+import sys
+
+import numpy as np
+
 from guetzli_tpu.search.processor import QuantMatrixGenerator
 
 _TARGET_MUL_HIGH = 0.97
@@ -90,3 +94,124 @@ def lockstep_select_quant_matrix(procs, jpgs, downsamples, best_qs, imgs):
         for s in active:          # fetch-all, in corpus order
             s.resolve()
     return [s.best[1] for s in sms]
+
+
+def encode_corpus_lockstep(inputs, quality: float = 95):
+    """Encode a corpus of 444 PNG images with the search phases in
+    lockstep: quant matrices via lockstep_select_quant_matrix (one
+    dispatch wave per binary-search round), then ONE staged zeroing run
+    over every image's blocks concatenated (per-block error limits), then
+    the per-image back-end loop. Outputs are byte-identical to serial
+    `encode_bytes` per image (tests/test_lockstep.py).
+
+    Inputs needing other paths (JPEG input, <32px, forced 420) fall back
+    to the serial encoder. Returns [(name, jpeg_bytes)].
+    """
+    import jax.numpy as jnp
+
+    from guetzli_tpu import consts
+    from guetzli_tpu.codec.encoder import encode_rgb_to_jpeg
+    from guetzli_tpu.comparator import Comparator
+    from guetzli_tpu.io.png import read_png
+    from guetzli_tpu.runtime import configure
+    from guetzli_tpu.search import state as st
+    from guetzli_tpu.search import zeroing
+    from guetzli_tpu.search.processor import (Params, Processor,
+                                              ProcessStats, _copy_jpeg)
+    configure()
+    target = consts.butteraugli_score_for_quality(quality)
+
+    ctxs, results = [], {}
+    for name, data in inputs:
+        if data[:2] == b"\xff\xd8":
+            from guetzli_tpu.parallel.api import encode_bytes
+            results[name] = encode_bytes(data, quality)
+            continue
+        rgb, w, h = read_png(data)
+        params = Params()
+        params.butteraugli_target = target
+        if w < 32 or h < 32:
+            from guetzli_tpu.search.processor import process_rgb
+            results[name] = process_rgb(params, rgb, w, h, ProcessStats())
+            continue
+        comp = Comparator(rgb, w, h, target)
+        proc = Processor(params, comp, ProcessStats())
+        jpg_in = encode_rgb_to_jpeg(rgb, w, h)
+        # process_jpeg_data pre-search steps (processor.cc:950-984).
+        encoded = proc.output_jpeg(jpg_in)
+        proc.final.score = -1
+        proc.stats.log("Original Out[%7d]", len(encoded))
+        jpg0 = _copy_jpeg(jpg_in)
+        q_in = st.remove_original_quantization(jpg0)
+        proc._compare(st.CoeffImage.from_jpeg(jpg0))
+        proc.maybe_output(encoded)
+        # _run_search's downsample=0 pass setup.
+        jpg = _copy_jpeg(jpg_in)
+        st.remove_original_quantization(jpg)
+        img = st.CoeffImage.from_jpeg(jpg)
+        ctxs.append((name, proc, jpg, img, q_in.copy()))
+
+    if not ctxs:
+        return [(n, results[n]) for n, _ in inputs if n in results]
+
+    procs = [c[1] for c in ctxs]
+    jpgs = [c[2] for c in ctxs]
+    imgs = [c[3] for c in ctxs]
+    best_qs = [c[4] for c in ctxs]
+
+    with procs[0].stats.timed("select_quant_matrix"):
+        oks = lockstep_select_quant_matrix(
+            procs, jpgs, [False] * len(ctxs), best_qs, imgs)
+    for i, ok in enumerate(oks):
+        if not ok:
+            best_qs[i][:] = 1
+        imgs[i].comps = st.CoeffImage.from_jpeg(jpgs[i]).comps
+        imgs[i].apply_global_quantization(best_qs[i])
+
+    # One staged zeroing run over every image's blocks (comp_mask=7).
+    per = []
+    for proc, jpg, img in zip(procs, jpgs, imgs):
+        blocks, orig = proc.masking_inputs(jpg, img, 7)
+        mode, aux = proc.masking_aux(img, 7, img.comps[2])
+        per.append((blocks, orig, mode, aux,
+                    np.float32(proc.comparator.block_error_limit())))
+    mode = per[0][2]
+    assert all(p[2] == mode for p in per), "mixed eval modes in corpus"
+    cat_blocks = np.concatenate([p[0] for p in per])
+    cat_orig = np.concatenate([p[1] for p in per])
+    cat_aux = tuple(
+        jnp.concatenate([jnp.asarray(p[3][k]) for p in per])
+        for k in range(len(per[0][3])))
+    limits = np.concatenate([
+        np.full(len(p[0]), p[4], np.float32) for p in per])
+    p0 = procs[0].params
+    for attempt in range(3):
+        try:
+            out_idx, out_err, num = zeroing.compute_zeroing_order_staged(
+                cat_blocks, cat_orig, limits, cat_aux, mode, 7,
+                lookahead=p0.zeroing_greedy_lookahead,
+                new_model=p0.new_zeroing_model,
+                early_exit=p0.zeroing_early_exit)
+            break
+        except Exception as e:
+            if "UNAVAILABLE" not in str(e) or attempt == 2:
+                raise
+            sys.stderr.write("worker crash during corpus zeroing; "
+                             "recovering\n")
+            for proc in procs:
+                proc.comparator.recover_device_state()
+
+    # Split per image; per-image back-end loop (host/native dominated).
+    off = 0
+    for (name, proc, jpg, img, _q), p in zip(ctxs, per):
+        nb = len(p[0])
+        oi, oe, nn = (out_idx[off:off + nb], out_err[off:off + nb],
+                      num[off:off + nb])
+        off += nb
+        offsets, cand_idx, cand_err = proc.csr_from_zeroing(oi, oe, nn, nb)
+        proc.comparator.finish_block_comparisons()
+        with proc.stats.timed("select_frequency_masking"):
+            proc.select_frequency_back_end(
+                jpg, img, 7, 1.0, False, offsets, cand_idx, cand_err)
+        results[name] = proc.final.jpeg_data
+    return [(n, results[n]) for n, _ in inputs]

@@ -349,15 +349,12 @@ class Processor:
 
     # -- frequency masking (processor.cc:559-721) ---------------------
 
-    def select_frequency_masking(self, jpg, img: st.CoeffImage, comp_mask,
-                                 target_mul, stop_early):
+    def masking_inputs(self, jpg, img: st.CoeffImage, comp_mask):
+        """Per-block current + original coefficients on the pass's grid;
+        unmasked channels stay zero (processor.cc:645-658)."""
         last_c = comp_mask.bit_length() - 1
         grid = img.comps[last_c]
         nb = grid.bw * grid.bh
-        lookahead = self.params.zeroing_greedy_lookahead
-
-        # Per-block current + original coefficients on the pass's grid;
-        # unmasked channels stay zero (processor.cc:645-658).
         blocks = np.zeros((nb, 3, 64), dtype=np.int32)
         orig = np.zeros((nb, 3, 64), dtype=np.int32)
         for c in range(3):
@@ -372,41 +369,67 @@ class Processor:
             orig[:, c, :] = src[:grid.bh, :grid.bw].reshape(nb, 64) \
                 .astype(np.int32) \
                 * jpg.quant[jcomp.quant_idx].values[None, :]
+        return blocks, orig
 
-        def build_aux():
-            import os
-            self.comparator.start_block_comparisons()
-            if img.is_444():
-                xyb0_tiles, scales, ysel, xsel = \
-                    self.comparator.block_state(1, 1)
-                if os.environ.get("GUETZLI_TPU_PALLAS") == "1":
-                    from guetzli_tpu.kernels import tile_compare as tc
-                    sy, sx = tc._selection_matrices(np.asarray(ysel),
-                                                    np.asarray(xsel))
-                    return "444p", (xyb0_tiles, scales, jnp.asarray(sy),
-                                    jnp.asarray(sx))
-                return "444", (xyb0_tiles, scales, ysel, xsel)
-            if comp_mask == 1:
-                chroma_bytes = self.comparator.frozen_chroma_blocks(img)
-                return "420y", (chroma_bytes,) + \
-                    self.comparator.block_state(1, 1)
-            from guetzli_tpu.ops import upsample as us
-            from guetzli_tpu.ops import image as img_ops
-            w, h = img.width, img.height
-            ws, hs = (w + 1) // 2, (h + 1) // 2
-            subs = []
-            for c in (1, 2):
-                comp = img.comps[c]
-                vals = np.asarray(img_ops.idct_blocks(
-                    jnp.asarray(comp.coeffs)))
-                sub = np.asarray(img_ops.blocks_to_plane(
-                    jnp.asarray(vals << 4), comp.bw, comp.bh, ws, hs))
-                subs.append(us.neighborhoods_10x10(sub, comp.bw, comp.bh))
-            y16 = self.comparator.frozen_y_16x16(img, grid.bw, grid.bh)
-            children = self.comparator.children_state(grid.bw, grid.bh)
-            return "420c", (jnp.asarray(np.asarray(subs[0])),
-                            jnp.asarray(np.asarray(subs[1])), y16) \
-                + children
+    def csr_from_zeroing(self, out_idx, out_err, num, nb):
+        """CSR candidate arrays (processor.cc:694-716), vectorized."""
+        limit = self.comparator.block_error_limit()
+        slot = np.arange(out_err.shape[1])[None, :]
+        sel = ((slot < num[:, None]) & (out_err > 0)
+               & (out_err <= limit))
+        counts = sel.sum(axis=1)
+        offsets = np.zeros(nb + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        return (offsets, out_idx[sel].astype(np.int32),
+                out_err[sel].astype(np.float32))
+
+    def masking_aux(self, img, comp_mask, grid):
+        """The pass's frozen per-block evaluation state: (mode, aux) for
+        zeroing._eval_dispatch. Starts block comparisons on the
+        comparator."""
+        import os
+        self.comparator.start_block_comparisons()
+        if img.is_444():
+            xyb0_tiles, scales, ysel, xsel = \
+                self.comparator.block_state(1, 1)
+            if os.environ.get("GUETZLI_TPU_PALLAS") == "1":
+                from guetzli_tpu.kernels import tile_compare as tc
+                sy, sx = tc._selection_matrices(np.asarray(ysel),
+                                                np.asarray(xsel))
+                return "444p", (xyb0_tiles, scales, jnp.asarray(sy),
+                                jnp.asarray(sx))
+            return "444", (xyb0_tiles, scales, ysel, xsel)
+        if comp_mask == 1:
+            chroma_bytes = self.comparator.frozen_chroma_blocks(img)
+            return "420y", (chroma_bytes,) + \
+                self.comparator.block_state(1, 1)
+        from guetzli_tpu.ops import upsample as us
+        from guetzli_tpu.ops import image as img_ops
+        w, h = img.width, img.height
+        ws, hs = (w + 1) // 2, (h + 1) // 2
+        subs = []
+        for c in (1, 2):
+            comp = img.comps[c]
+            vals = np.asarray(img_ops.idct_blocks(
+                jnp.asarray(comp.coeffs)))
+            sub = np.asarray(img_ops.blocks_to_plane(
+                jnp.asarray(vals << 4), comp.bw, comp.bh, ws, hs))
+            subs.append(us.neighborhoods_10x10(sub, comp.bw, comp.bh))
+        y16 = self.comparator.frozen_y_16x16(img, grid.bw, grid.bh)
+        children = self.comparator.children_state(grid.bw, grid.bh)
+        return "420c", (jnp.asarray(np.asarray(subs[0])),
+                        jnp.asarray(np.asarray(subs[1])), y16) \
+            + children
+
+    def select_frequency_masking(self, jpg, img: st.CoeffImage, comp_mask,
+                                 target_mul, stop_early):
+        last_c = comp_mask.bit_length() - 1
+        grid = img.comps[last_c]
+        nb = grid.bw * grid.bh
+        lookahead = self.params.zeroing_greedy_lookahead
+        blocks, orig = self.masking_inputs(jpg, img, comp_mask)
+
+        build_aux = lambda: self.masking_aux(img, comp_mask, grid)  # noqa: E731
 
         # The tunneled TPU worker occasionally crashes mid-program; all
         # device buffers die with it. Search state is host-resident, so
@@ -452,16 +475,8 @@ class Processor:
                 _time.sleep(20)
                 self.comparator.recover_device_state()
 
-        # CSR candidate arrays (processor.cc:694-716), vectorized.
-        limit = self.comparator.block_error_limit()
-        slot = np.arange(out_err.shape[1])[None, :]
-        sel = ((slot < num[:, None]) & (out_err > 0)
-               & (out_err <= limit))
-        counts = sel.sum(axis=1)
-        offsets = np.zeros(nb + 1, dtype=np.int64)
-        np.cumsum(counts, out=offsets[1:])
-        cand_idx = out_idx[sel].astype(np.int32)
-        cand_err = out_err[sel].astype(np.float32)
+        offsets, cand_idx, cand_err = self.csr_from_zeroing(
+            out_idx, out_err, num, nb)
         self.comparator.finish_block_comparisons()
 
         self.select_frequency_back_end(

@@ -64,3 +64,17 @@ def test_lockstep_quant_matches_serial(monkeypatch):
         assert procs[i].stats.counters["iters"] == s_iters, name
         assert procs[i].final.jpeg_data == s_out, name
         assert procs[i].final.score == s_score, name
+
+
+def test_encode_corpus_lockstep_byte_identical():
+    """Full lockstep corpus encode (lockstep quant + one combined zeroing
+    run + per-image back-end) vs serial encode_bytes per image."""
+    from guetzli_tpu.parallel.api import encode_bytes
+    from guetzli_tpu.parallel.lockstep import encode_corpus_lockstep
+
+    inputs = [(n, (FIXTURES / n).read_bytes()) for n in _NAMES]
+    lock = dict(encode_corpus_lockstep(inputs, quality=95))
+    for name, data in inputs:
+        serial = encode_bytes(data, quality=95)
+        assert lock[name] == serial, (
+            name, len(lock[name]), len(serial))
