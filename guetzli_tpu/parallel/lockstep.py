@@ -96,40 +96,46 @@ def lockstep_select_quant_matrix(procs, jpgs, downsamples, best_qs, imgs):
     return [s.best[1] for s in sms]
 
 
-def encode_corpus_lockstep(inputs, quality: float = 95):
-    """Encode a corpus of 444 PNG images with the search phases in
-    lockstep: quant matrices via lockstep_select_quant_matrix (one
-    dispatch wave per binary-search round), then ONE staged zeroing run
-    over every image's blocks concatenated (per-block error limits), then
-    the per-image back-end loop. Outputs are byte-identical to serial
-    `encode_bytes` per image (tests/test_lockstep.py).
+def encode_corpus_lockstep(inputs, quality: float = 95,
+                           force_420: bool = False,
+                           try_420: bool = False,
+                           use_silver_screen: bool = False):
+    """Encode a corpus of PNG images with the search phases in lockstep.
 
-    Inputs needing other paths (JPEG input, <32px, forced 420) fall back
-    to the serial encoder. Returns [(name, jpeg_bytes)].
+    Each pass of the reference driver (444, and the 420 pass under
+    force_420/try_420 -- processor.cc:986-1016) runs phase-synchronized
+    across the corpus: quant matrices via lockstep_select_quant_matrix
+    (one dispatch wave per binary-search round), then ONE staged zeroing
+    run per masking pass over every image's blocks concatenated
+    (per-block error limits), then the per-image back-end loop. Outputs
+    are byte-identical to serial `encode_bytes` per image
+    (tests/test_lockstep.py).
+
+    Inputs needing other paths (JPEG input, <32px) fall back to the
+    serial encoder. Returns [(name, jpeg_bytes)].
     """
-    import jax.numpy as jnp
-
     from guetzli_tpu import consts
     from guetzli_tpu.codec.encoder import encode_rgb_to_jpeg
     from guetzli_tpu.comparator import Comparator
     from guetzli_tpu.io.png import read_png
     from guetzli_tpu.runtime import configure
     from guetzli_tpu.search import state as st
-    from guetzli_tpu.search import zeroing
     from guetzli_tpu.search.processor import (Params, Processor,
-                                              ProcessStats, _copy_jpeg)
+                                              ProcessStats, _copy_jpeg,
+                                              _is_grayscale)
     configure()
     target = consts.butteraugli_score_for_quality(quality)
 
     ctxs, results = [], {}
     for name, data in inputs:
+        params = Params(force_420=force_420, try_420=try_420,
+                        use_silver_screen=use_silver_screen)
+        params.butteraugli_target = target
         if data[:2] == b"\xff\xd8":
             from guetzli_tpu.parallel.api import encode_bytes
-            results[name] = encode_bytes(data, quality)
+            results[name] = encode_bytes(data, quality, params=params)
             continue
         rgb, w, h = read_png(data)
-        params = Params()
-        params.butteraugli_target = target
         if w < 32 or h < 32:
             from guetzli_tpu.search.processor import process_rgb
             results[name] = process_rgb(params, rgb, w, h, ProcessStats())
@@ -145,34 +151,70 @@ def encode_corpus_lockstep(inputs, quality: float = 95):
         q_in = st.remove_original_quantization(jpg0)
         proc._compare(st.CoeffImage.from_jpeg(jpg0))
         proc.maybe_output(encoded)
-        # _run_search's downsample=0 pass setup.
-        jpg = _copy_jpeg(jpg_in)
-        st.remove_original_quantization(jpg)
-        img = st.CoeffImage.from_jpeg(jpg)
-        ctxs.append((name, proc, jpg, img, q_in.copy()))
+        ds_hi = 1 if (force_420 or (try_420
+                                    and not _is_grayscale(jpg_in))) else 0
+        ctxs.append({"name": name, "proc": proc, "jpg_in": jpg_in,
+                     "q_in": q_in, "ds_hi": ds_hi})
 
     if not ctxs:
         return [(n, results[n]) for n, _ in inputs if n in results]
 
-    procs = [c[1] for c in ctxs]
-    jpgs = [c[2] for c in ctxs]
-    imgs = [c[3] for c in ctxs]
-    best_qs = [c[4] for c in ctxs]
+    ds_lo = 1 if force_420 else 0
+    ds_hi_all = max(c["ds_hi"] for c in ctxs)
+    for downsample in range(ds_lo, ds_hi_all + 1):
+        batch = [c for c in ctxs if ds_lo <= downsample <= c["ds_hi"]]
+        if not batch:
+            continue
+        procs, jpgs, imgs, best_qs = [], [], [], []
+        for c in batch:
+            jpg = _copy_jpeg(c["jpg_in"])
+            st.remove_original_quantization(jpg)
+            img = st.CoeffImage.from_jpeg(jpg)
+            if downsample:
+                if img.comps[1].factor_x == 1 and \
+                        img.comps[1].factor_y == 1:
+                    img.downsample(use_silver_screen=use_silver_screen)
+                jpg = img.save_to_jpeg_data(jpg)
+            procs.append(c["proc"])
+            jpgs.append(jpg)
+            imgs.append(img)
+            best_qs.append(c["q_in"].copy())
 
-    with procs[0].stats.timed("select_quant_matrix"):
         oks = lockstep_select_quant_matrix(
-            procs, jpgs, [False] * len(ctxs), best_qs, imgs)
-    for i, ok in enumerate(oks):
-        if not ok:
-            best_qs[i][:] = 1
-        imgs[i].comps = st.CoeffImage.from_jpeg(jpgs[i]).comps
-        imgs[i].apply_global_quantization(best_qs[i])
+            procs, jpgs, [downsample != 0] * len(batch), best_qs, imgs)
+        for i, ok in enumerate(oks):
+            if not ok:
+                best_qs[i][:] = 1
+            imgs[i].comps = st.CoeffImage.from_jpeg(jpgs[i]).comps
+            imgs[i].apply_global_quantization(best_qs[i])
 
-    # One staged zeroing run over every image's blocks (comp_mask=7).
+        trip = list(zip(procs, jpgs, imgs))
+        if not downsample:
+            _corpus_masking(trip, 7, [1.0] * len(batch), False)
+        else:
+            ymuls = [1.0 if len(j.components) == 1 else 0.97 for j in jpgs]
+            _corpus_masking(trip, 1, ymuls, False)
+            _corpus_masking(trip, 6, [1.0] * len(batch), True)
+
+    for c in ctxs:
+        results[c["name"]] = c["proc"].final.jpeg_data
+    return [(n, results[n]) for n, _ in inputs]
+
+
+def _corpus_masking(trip, comp_mask, target_muls, stop_early):
+    """One masking pass, lockstep across the corpus: per-image inputs and
+    frozen aux state, ONE combined staged zeroing run (per-block limits),
+    then the per-image back-end loop. Per-block math is independent, so
+    results are bit-identical to per-image runs."""
+    import jax.numpy as jnp
+
+    from guetzli_tpu.search import zeroing
+
     per = []
-    for proc, jpg, img in zip(procs, jpgs, imgs):
-        blocks, orig = proc.masking_inputs(jpg, img, 7)
-        mode, aux = proc.masking_aux(img, 7, img.comps[2])
+    for proc, jpg, img in trip:
+        last_c = comp_mask.bit_length() - 1
+        blocks, orig = proc.masking_inputs(jpg, img, comp_mask)
+        mode, aux = proc.masking_aux(img, comp_mask, img.comps[last_c])
         per.append((blocks, orig, mode, aux,
                     np.float32(proc.comparator.block_error_limit())))
     mode = per[0][2]
@@ -184,11 +226,11 @@ def encode_corpus_lockstep(inputs, quality: float = 95):
         for k in range(len(per[0][3])))
     limits = np.concatenate([
         np.full(len(p[0]), p[4], np.float32) for p in per])
-    p0 = procs[0].params
+    p0 = trip[0][0].params
     for attempt in range(3):
         try:
             out_idx, out_err, num = zeroing.compute_zeroing_order_staged(
-                cat_blocks, cat_orig, limits, cat_aux, mode, 7,
+                cat_blocks, cat_orig, limits, cat_aux, mode, comp_mask,
                 lookahead=p0.zeroing_greedy_lookahead,
                 new_model=p0.new_zeroing_model,
                 early_exit=p0.zeroing_early_exit)
@@ -198,12 +240,11 @@ def encode_corpus_lockstep(inputs, quality: float = 95):
                 raise
             sys.stderr.write("worker crash during corpus zeroing; "
                              "recovering\n")
-            for proc in procs:
+            for proc, _, _ in trip:
                 proc.comparator.recover_device_state()
 
-    # Split per image; per-image back-end loop (host/native dominated).
     off = 0
-    for (name, proc, jpg, img, _q), p in zip(ctxs, per):
+    for (proc, jpg, img), p, mul in zip(trip, per, target_muls):
         nb = len(p[0])
         oi, oe, nn = (out_idx[off:off + nb], out_err[off:off + nb],
                       num[off:off + nb])
@@ -212,6 +253,5 @@ def encode_corpus_lockstep(inputs, quality: float = 95):
         proc.comparator.finish_block_comparisons()
         with proc.stats.timed("select_frequency_masking"):
             proc.select_frequency_back_end(
-                jpg, img, 7, 1.0, False, offsets, cand_idx, cand_err)
-        results[name] = proc.final.jpeg_data
-    return [(n, results[n]) for n, _ in inputs]
+                jpg, img, comp_mask, mul, stop_early,
+                offsets, cand_idx, cand_err)

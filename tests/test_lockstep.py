@@ -78,3 +78,43 @@ def test_encode_corpus_lockstep_byte_identical():
         serial = encode_bytes(data, quality=95)
         assert lock[name] == serial, (
             name, len(lock[name]), len(serial))
+
+
+def test_encode_corpus_lockstep_force_420_byte_identical():
+    """420 pass alignment: force_420 corpus encode must match serial
+    process_rgb(force_420) per image byte-for-byte (exercises the 420y
+    and 420c masking passes over concatenated blocks)."""
+    from guetzli_tpu.io.png import read_png
+    from guetzli_tpu.parallel.lockstep import encode_corpus_lockstep
+    from guetzli_tpu.search.processor import process_rgb
+
+    names = ("bees96x64.png", "bees97x63.png")
+    inputs = [(n, (FIXTURES / n).read_bytes()) for n in names]
+    lock = dict(encode_corpus_lockstep(inputs, quality=95,
+                                       force_420=True))
+    for name, data in inputs:
+        rgb, w, h = read_png(data)
+        params = Params(force_420=True)
+        params.butteraugli_target = \
+            consts.butteraugli_score_for_quality(95)
+        serial = process_rgb(params, rgb, w, h, ProcessStats())
+        assert lock[name] == serial, (name, len(lock[name]), len(serial))
+
+
+def test_encode_corpus_lockstep_try_420_byte_identical():
+    """try_420 runs both the 444 and 420 pass groups across the corpus;
+    MaybeOutput keeps the better result exactly as in the serial path."""
+    from guetzli_tpu.io.png import read_png
+    from guetzli_tpu.parallel.lockstep import encode_corpus_lockstep
+    from guetzli_tpu.search.processor import process_rgb
+
+    names = ("bees96x64.png", "synth128x96.png")
+    inputs = [(n, (FIXTURES / n).read_bytes()) for n in names]
+    lock = dict(encode_corpus_lockstep(inputs, quality=95, try_420=True))
+    for name, data in inputs:
+        rgb, w, h = read_png(data)
+        params = Params(try_420=True)
+        params.butteraugli_target = \
+            consts.butteraugli_score_for_quality(95)
+        serial = process_rgb(params, rgb, w, h, ProcessStats())
+        assert lock[name] == serial, (name, len(lock[name]), len(serial))
