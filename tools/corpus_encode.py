@@ -17,6 +17,8 @@ import pathlib
 import sys
 import time
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
@@ -31,6 +33,11 @@ def main(argv=None) -> int:
     ap.add_argument("--threads", type=int, default=1,
                     help="concurrent encodes per host (overlaps device "
                          "round trips across images)")
+    ap.add_argument("--lockstep", action="store_true",
+                    help="phase-synchronized corpus search: one dispatch "
+                         "wave per quant round and one combined zeroing "
+                         "program across the corpus (byte-identical "
+                         "outputs; best on remote/tunneled accelerators)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -39,6 +46,13 @@ def main(argv=None) -> int:
         jax.distributed.initialize()
         args.num_hosts = jax.process_count()
         args.host_index = jax.process_index()
+    else:
+        # Long-running batch job: spend a probe up front rather than hang
+        # forever on a wedged accelerator tunnel.
+        from guetzli_tpu import runtime
+        if not runtime.accelerator_reachable():
+            runtime.force_cpu()
+            sys.stderr.write("accelerator unreachable; encoding on CPU\n")
 
     paths = []
     for p in args.inputs:
@@ -55,11 +69,18 @@ def main(argv=None) -> int:
     out_dir = pathlib.Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    from guetzli_tpu.parallel.api import encode_corpus
     t0 = time.time()
     items = [(p.name, p.read_bytes()) for p in mine]
-    results = encode_corpus(items, quality=args.quality,
-                            verbose=args.verbose, threads=args.threads)
+    if args.lockstep:
+        from guetzli_tpu.parallel.lockstep import encode_corpus_lockstep
+        results = [(n, d, 0.0)
+                   for n, d in encode_corpus_lockstep(
+                       items, quality=args.quality)]
+    else:
+        from guetzli_tpu.parallel.api import encode_corpus
+        results = encode_corpus(items, quality=args.quality,
+                                verbose=args.verbose,
+                                threads=args.threads)
     wall = time.time() - t0
 
     ok = 0

@@ -7,7 +7,10 @@ competing JPEG's distance to the source, then report the file sizes.
 Usage: python tools/guetzli_compare.py source.png competitor.jpg
 """
 
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def main(argv=None) -> int:
