@@ -55,9 +55,13 @@ def _write_heatmap(path, dmap):
 
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "--cpu":
+        from guetzli_tpu.runtime import force_cpu
+        force_cpu()
+        argv = argv[1:]
     if len(argv) not in (2, 3):
         sys.stderr.write(
-            "Usage: butteraugli {image1} {image2} [heatmap.pgm]\n")
+            "Usage: butteraugli [--cpu] {image1} {image2} [heatmap.pgm]\n")
         return 1
     rgb0, w0, h0 = _load_image(argv[0])
     rgb1, w1, h1 = _load_image(argv[1])

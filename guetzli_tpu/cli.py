@@ -24,6 +24,7 @@ Flags:
   --memlimit M - Memory limit in MB. Guetzli will fail if unable to stay under
                  the limit. Default limit is 6000 MB.
   --nomemlimit - Do not limit memory usage.
+  --cpu        - Run on the CPU backend (skip accelerator initialization).
 """
 
 K_BYTES_PER_PIXEL = 110          # guetzli.cc:42
@@ -64,6 +65,11 @@ def main(argv=None) -> int:
             # Runtime dual-execution verification of the alternative
             # kernels on this input (clguetzli_test.cpp analog).
             check_kernels = True
+        elif flag == "--cpu":
+            # Escape hatch when the accelerator tunnel is unreachable
+            # (pins the platform before any backend init; no probe cost).
+            from guetzli_tpu.runtime import force_cpu
+            force_cpu()
         elif flag == "--profile":
             # gperftools analog (guetzli.cc:32-34): dump an XLA/TPU trace.
             opt_idx += 1
