@@ -99,7 +99,8 @@ def lockstep_select_quant_matrix(procs, jpgs, downsamples, best_qs, imgs):
 def encode_corpus_lockstep(inputs, quality: float = 95,
                            force_420: bool = False,
                            try_420: bool = False,
-                           use_silver_screen: bool = False):
+                           use_silver_screen: bool = False,
+                           threads: int = 1):
     """Encode a corpus of PNG images with the search phases in lockstep.
 
     Each pass of the reference driver (444, and the 420 pass under
@@ -190,22 +191,24 @@ def encode_corpus_lockstep(inputs, quality: float = 95,
 
         trip = list(zip(procs, jpgs, imgs))
         if not downsample:
-            _corpus_masking(trip, 7, [1.0] * len(batch), False)
+            _corpus_masking(trip, 7, [1.0] * len(batch), False, threads)
         else:
             ymuls = [1.0 if len(j.components) == 1 else 0.97 for j in jpgs]
-            _corpus_masking(trip, 1, ymuls, False)
-            _corpus_masking(trip, 6, [1.0] * len(batch), True)
+            _corpus_masking(trip, 1, ymuls, False, threads)
+            _corpus_masking(trip, 6, [1.0] * len(batch), True, threads)
 
     for c in ctxs:
         results[c["name"]] = c["proc"].final.jpeg_data
     return [(n, results[n]) for n, _ in inputs]
 
 
-def _corpus_masking(trip, comp_mask, target_muls, stop_early):
+def _corpus_masking(trip, comp_mask, target_muls, stop_early, threads=1):
     """One masking pass, lockstep across the corpus: per-image inputs and
     frozen aux state, ONE combined staged zeroing run (per-block limits),
-    then the per-image back-end loop. Per-block math is independent, so
-    results are bit-identical to per-image runs."""
+    then the per-image back-end loop (independent across images -- run
+    in `threads` workers to overlap host work with device round trips).
+    Per-block math is independent, so results are bit-identical to
+    per-image runs."""
     import jax.numpy as jnp
 
     from guetzli_tpu.search import zeroing
@@ -243,15 +246,27 @@ def _corpus_masking(trip, comp_mask, target_muls, stop_early):
             for proc, _, _ in trip:
                 proc.comparator.recover_device_state()
 
-    off = 0
-    for (proc, jpg, img), p, mul in zip(trip, per, target_muls):
+    def back_end(item):
+        (proc, jpg, img), p, mul, off = item
         nb = len(p[0])
         oi, oe, nn = (out_idx[off:off + nb], out_err[off:off + nb],
                       num[off:off + nb])
-        off += nb
         offsets, cand_idx, cand_err = proc.csr_from_zeroing(oi, oe, nn, nb)
         proc.comparator.finish_block_comparisons()
         with proc.stats.timed("select_frequency_masking"):
             proc.select_frequency_back_end(
                 jpg, img, comp_mask, mul, stop_early,
                 offsets, cand_idx, cand_err)
+
+    items = []
+    off = 0
+    for t, p, mul in zip(trip, per, target_muls):
+        items.append((t, p, mul, off))
+        off += len(p[0])
+    if threads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            list(pool.map(back_end, items))
+    else:
+        for item in items:
+            back_end(item)

@@ -75,7 +75,8 @@ def main(argv=None) -> int:
         from guetzli_tpu.parallel.lockstep import encode_corpus_lockstep
         results = [(n, d, 0.0)
                    for n, d in encode_corpus_lockstep(
-                       items, quality=args.quality)]
+                       items, quality=args.quality,
+                       threads=args.threads)]
     else:
         from guetzli_tpu.parallel.api import encode_corpus
         results = encode_corpus(items, quality=args.quality,
