@@ -101,21 +101,23 @@ def encode_corpus_lockstep(inputs, quality: float = 95,
                            try_420: bool = False,
                            use_silver_screen: bool = False,
                            threads: int = 1):
-    """Encode a corpus of PNG images with the search phases in lockstep.
+    """Encode a corpus of PNG/JPEG images with the search phases in
+    lockstep.
 
     Each pass of the reference driver (444, and the 420 pass under
-    force_420/try_420 -- processor.cc:986-1016) runs phase-synchronized
-    across the corpus: quant matrices via lockstep_select_quant_matrix
-    (one dispatch wave per binary-search round), then ONE staged zeroing
-    run per masking pass over every image's blocks concatenated
-    (per-block error limits), then the per-image back-end loop. Outputs
-    are byte-identical to serial `encode_bytes` per image
-    (tests/test_lockstep.py).
+    force_420/try_420 or a 420 JPEG input -- processor.cc:986-1016) runs
+    phase-synchronized across the corpus: quant matrices via
+    lockstep_select_quant_matrix (one dispatch wave per binary-search
+    round), then ONE staged zeroing run per masking pass over every
+    image's blocks concatenated (per-block error limits), then the
+    per-image back-end loop. Outputs are byte-identical to serial
+    `encode_bytes` per image (tests/test_lockstep.py).
 
-    Inputs needing other paths (JPEG input, <32px) fall back to the
-    serial encoder. Returns [(name, jpeg_bytes)].
+    Inputs needing other paths (<32px, unsupported JPEGs) fall back to
+    the serial encoder. Returns [(name, jpeg_bytes)].
     """
     from guetzli_tpu import consts
+    from guetzli_tpu.codec import reader
     from guetzli_tpu.codec.encoder import encode_rgb_to_jpeg
     from guetzli_tpu.comparator import Comparator
     from guetzli_tpu.io.png import read_png
@@ -123,7 +125,8 @@ def encode_corpus_lockstep(inputs, quality: float = 95,
     from guetzli_tpu.search import state as st
     from guetzli_tpu.search.processor import (Params, Processor,
                                               ProcessStats, _copy_jpeg,
-                                              _is_grayscale)
+                                              _is_grayscale,
+                                              decode_jpeg_to_rgb)
     configure()
     target = consts.butteraugli_score_for_quality(quality)
 
@@ -132,18 +135,36 @@ def encode_corpus_lockstep(inputs, quality: float = 95,
         params = Params(force_420=force_420, try_420=try_420,
                         use_silver_screen=use_silver_screen)
         params.butteraugli_target = target
+        input_is_420 = False
         if data[:2] == b"\xff\xd8":
-            from guetzli_tpu.parallel.api import encode_bytes
-            results[name] = encode_bytes(data, quality, params=params)
-            continue
-        rgb, w, h = read_png(data)
+            # JPEG input (processor.cc:1029-1066): parse, decode to RGB;
+            # a 420 input forces the 420 pass for that image.
+            try:
+                jpg_in = reader.read_jpeg(data)
+            except reader.JpegError:
+                jpg_in = None
+            rgb = None
+            if jpg_in is not None and reader.check_jpeg_sanity(jpg_in) \
+                    and len(jpg_in.components) == 3 \
+                    and (jpg_in.is_444() or jpg_in.is_420()):
+                rgb = decode_jpeg_to_rgb(jpg_in)
+            if rgb is None:
+                from guetzli_tpu.parallel.api import encode_bytes
+                results[name] = encode_bytes(data, quality, params=params)
+                continue
+            input_is_420 = jpg_in.is_420()
+            w, h = jpg_in.width, jpg_in.height
+        else:
+            rgb, w, h = read_png(data)
+            jpg_in = None
         if w < 32 or h < 32:
             from guetzli_tpu.search.processor import process_rgb
             results[name] = process_rgb(params, rgb, w, h, ProcessStats())
             continue
         comp = Comparator(rgb, w, h, target)
         proc = Processor(params, comp, ProcessStats())
-        jpg_in = encode_rgb_to_jpeg(rgb, w, h)
+        if jpg_in is None:
+            jpg_in = encode_rgb_to_jpeg(rgb, w, h)
         # process_jpeg_data pre-search steps (processor.cc:950-984).
         encoded = proc.output_jpeg(jpg_in)
         proc.final.score = -1
@@ -152,18 +173,20 @@ def encode_corpus_lockstep(inputs, quality: float = 95,
         q_in = st.remove_original_quantization(jpg0)
         proc._compare(st.CoeffImage.from_jpeg(jpg0))
         proc.maybe_output(encoded)
-        ds_hi = 1 if (force_420 or (try_420
-                                    and not _is_grayscale(jpg_in))) else 0
+        ds_lo_i = 1 if (input_is_420 or force_420) else 0
+        ds_hi_i = 1 if (input_is_420 or force_420
+                        or (try_420 and not _is_grayscale(jpg_in))) else 0
         ctxs.append({"name": name, "proc": proc, "jpg_in": jpg_in,
-                     "q_in": q_in, "ds_hi": ds_hi})
+                     "q_in": q_in, "ds_lo": ds_lo_i, "ds_hi": ds_hi_i})
 
     if not ctxs:
         return [(n, results[n]) for n, _ in inputs if n in results]
 
-    ds_lo = 1 if force_420 else 0
+    ds_lo_all = min(c["ds_lo"] for c in ctxs)
     ds_hi_all = max(c["ds_hi"] for c in ctxs)
-    for downsample in range(ds_lo, ds_hi_all + 1):
-        batch = [c for c in ctxs if ds_lo <= downsample <= c["ds_hi"]]
+    for downsample in range(ds_lo_all, ds_hi_all + 1):
+        batch = [c for c in ctxs
+                 if c["ds_lo"] <= downsample <= c["ds_hi"]]
         if not batch:
             continue
         procs, jpgs, imgs, best_qs = [], [], [], []

@@ -118,3 +118,28 @@ def test_encode_corpus_lockstep_try_420_byte_identical():
             consts.butteraugli_score_for_quality(95)
         serial = process_rgb(params, rgb, w, h, ProcessStats())
         assert lock[name] == serial, (name, len(lock[name]), len(serial))
+
+
+def test_encode_corpus_lockstep_jpeg_inputs_byte_identical():
+    """JPEG inputs join the lockstep corpus: a 420 JPEG runs only the 420
+    pass group (input_is_420 forces it per image), a 444 JPEG runs the
+    444 group, mixed with a PNG -- all byte-identical to serial."""
+    import io
+
+    from PIL import Image
+
+    from guetzli_tpu.parallel.api import encode_bytes
+    from guetzli_tpu.parallel.lockstep import encode_corpus_lockstep
+
+    buf = io.BytesIO()
+    Image.open(FIXTURES / "bees96x64.png").save(
+        buf, format="JPEG", quality=90, subsampling=2)
+    jpeg420 = buf.getvalue()
+    jpeg444 = (FIXTURES / "bees96x64_ref_q95.jpg").read_bytes()
+    inputs = [("in420.jpg", jpeg420),
+              ("plain.png", (FIXTURES / "bees97x63.png").read_bytes()),
+              ("in444.jpg", jpeg444)]
+    lock = dict(encode_corpus_lockstep(inputs, quality=95))
+    for name, data in inputs:
+        serial = encode_bytes(data, quality=95)
+        assert lock[name] == serial, (name, len(lock[name]), len(serial))
