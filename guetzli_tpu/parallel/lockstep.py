@@ -243,8 +243,19 @@ def _corpus_masking(trip, comp_mask, target_muls, stop_early, threads=1):
         mode, aux = proc.masking_aux(img, comp_mask, img.comps[last_c])
         per.append((blocks, orig, mode, aux,
                     np.float32(proc.comparator.block_error_limit())))
-    mode = per[0][2]
-    assert all(p[2] == mode for p in per), "mixed eval modes in corpus"
+    # Images can evaluate under different modes in one pass (e.g. a
+    # grayscale image keeps 444 geometry through the 420 pass because its
+    # all-zero chroma skips downsampling): bucket by mode and run one
+    # combined zeroing program per bucket.
+    modes = sorted({p[2] for p in per})
+    if len(modes) > 1:
+        for m in modes:
+            idx = [i for i, p in enumerate(per) if p[2] == m]
+            _corpus_masking([trip[i] for i in idx], comp_mask,
+                            [target_muls[i] for i in idx], stop_early,
+                            threads)
+        return
+    mode = modes[0]
     cat_blocks = np.concatenate([p[0] for p in per])
     cat_orig = np.concatenate([p[1] for p in per])
     cat_aux = tuple(

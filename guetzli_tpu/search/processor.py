@@ -360,6 +360,14 @@ class Processor:
         for c in range(3):
             if not (comp_mask & (1 << c)):
                 continue
+            if c >= len(jpg.components):
+                # Grayscale-collapsed jpg: the channel has no data and
+                # the CoeffImage chroma is all-zero -- leave the block
+                # columns zero (no zeroing candidates). The reference
+                # reads jpg.components[c] unguarded here
+                # (processor.cc:654) but can't reach this state from its
+                # CLI (force_420 is not exposed).
+                continue
             comp = img.comps[c]
             assert (comp.bw, comp.bh) == (grid.bw, grid.bh)
             blocks[:, c, :] = comp.coeffs

@@ -81,6 +81,12 @@ class CoeffImage:
             comp.coeffs = sub.astype(np.int32) * q[None, :]
             comp.quant = q.copy()
             img.comps.append(comp)
+        # The reference's OutputImage always carries three components; a
+        # grayscale-collapsed jpg (1 component) leaves chroma all-zero at
+        # factor 1 (output_image.cc:205-228 only fills present ones).
+        while len(img.comps) < 3:
+            img.comps.append(ComponentState.reset(jpg.width, jpg.height,
+                                                  1, 1))
         return img
 
     def copy(self) -> "CoeffImage":

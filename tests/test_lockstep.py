@@ -143,3 +143,36 @@ def test_encode_corpus_lockstep_jpeg_inputs_byte_identical():
     for name, data in inputs:
         serial = encode_bytes(data, quality=95)
         assert lock[name] == serial, (name, len(lock[name]), len(serial))
+
+
+def test_encode_corpus_lockstep_grayscale_and_silver_screen():
+    """Edge cases: a grayscale PNG under try_420 skips the 420 group for
+    that image only (_is_grayscale, processor.cc:1000), and
+    use_silver_screen routes the corpus 420 downsample through the
+    iterative RGB->YUV420 refinement -- both byte-identical to serial."""
+    import numpy as np
+    from PIL import Image
+    import io
+
+    from guetzli_tpu.io.png import read_png
+    from guetzli_tpu.parallel.lockstep import encode_corpus_lockstep
+    from guetzli_tpu.search.processor import process_rgb
+
+    rng = np.random.default_rng(5)
+    gray = np.repeat(rng.integers(0, 256, (48, 64, 1), np.uint8), 3,
+                     axis=2)
+    buf = io.BytesIO()
+    Image.fromarray(gray).save(buf, format="PNG")
+    inputs = [("gray.png", buf.getvalue()),
+              ("color.png", (FIXTURES / "bees96x64.png").read_bytes())]
+
+    for kw in ({"try_420": True},
+               {"force_420": True, "use_silver_screen": True}):
+        lock = dict(encode_corpus_lockstep(inputs, quality=95, **kw))
+        for name, data in inputs:
+            rgb, w, h = read_png(data)
+            params = Params(**kw)
+            params.butteraugli_target = \
+                consts.butteraugli_score_for_quality(95)
+            serial = process_rgb(params, rgb, w, h, ProcessStats())
+            assert lock[name] == serial, (kw, name)
