@@ -438,8 +438,28 @@ def _process_sos(data, pos, jpg, dc_tables, ac_tables, scan_progression):
                 scan_progression[si.comp_idx][k] = \
                     (word & ~(1 << scan.Al)) & 0xFFFF
 
+    # jpeg_data_reader.cc:811-815: Al > 10 would make the shifted AC
+    # coefficients non-representable in guetzli's coeff_t.
+    if is_progressive and scan.Al > 10:
+        raise JpegError("scan parameter Al is not supported in guetzli")
+
     return _decode_scan(data, p, jpg, scan, dc_tables, ac_tables,
                         is_progressive)
+
+
+def _single_scan_grid(jpg, comp):
+    """Scan grid for a non-interleaved (single-component) scan.
+
+    jpeg_data_reader.cc:770-778: DivCeil(width*h_samp, 8*max_h) columns by
+    DivCeil(height*v_samp, 8*max_v) rows. Differs from the MCU-padded
+    width_in_blocks grid whenever width or height mod (8*max/samp) leaves a
+    partial MCU (e.g. 4:2:0 luma with width mod 16 in 1..8).
+    """
+    cols = -(-(jpg.width * comp.h_samp_factor) //
+             (8 * jpg.max_h_samp_factor))
+    rows = -(-(jpg.height * comp.v_samp_factor) //
+             (8 * jpg.max_v_samp_factor))
+    return cols, rows
 
 
 def _decode_scan_native(data, pos, jpg, scan, dc_tables, ac_tables,
@@ -489,12 +509,17 @@ def _decode_scan_native(data, pos, jpg, scan, dc_tables, ac_tables,
         buf = np.ascontiguousarray(comp.coeffs, dtype=np.int16)
         bufs.append((si.comp_idx, buf))
         ptrs[i] = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+    if n == 1:
+        scan_cols, scan_rows = _single_scan_grid(
+            jpg, jpg.components[scan.components[0].comp_idx])
+    else:
+        scan_rows, scan_cols = jpg.MCU_rows, jpg.MCU_cols
     arr = np.frombuffer(data, dtype=np.uint8)
     res = lib.gt_decode_scan(
         arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_int64(len(data)), ctypes.c_int64(pos),
         ctypes.c_int(n), None, dc_tbl, ac_tbl, wib, hib, hsamp, vsamp,
-        ptrs, ctypes.c_int(jpg.MCU_rows), ctypes.c_int(jpg.MCU_cols),
+        ptrs, ctypes.c_int(scan_rows), ctypes.c_int(scan_cols),
         ctypes.c_int(jpg.restart_interval),
         ctypes.c_int(ss), ctypes.c_int(se), ctypes.c_int(ah),
         ctypes.c_int(al),
@@ -530,10 +555,11 @@ def _decode_scan(data, pos, jpg, scan, dc_tables, ac_tables,
     if len(scan.components) == 1:
         si = scan.components[0]
         comp = jpg.components[si.comp_idx]
-        mcus_x = -(-comp.width_in_blocks * 8 // 8) // 1
-        # Non-interleaved: MCU = one block of this component.
-        mcu_cols = comp.width_in_blocks
-        mcu_rows = comp.height_in_blocks
+        # Non-interleaved: MCU = one block of this component, but the scan
+        # grid is DivCeil(width*h_samp, 8*max_h) x DivCeil(height*v_samp,
+        # 8*max_v) (jpeg_data_reader.cc:770-778) — NOT the MCU-padded
+        # width_in_blocks grid; width_in_blocks stays the storage stride.
+        mcu_cols, mcu_rows = _single_scan_grid(jpg, comp)
         blocks_per_mcu = [(si, 0, 0, 1)]
     else:
         mcu_cols = jpg.MCU_cols
@@ -718,20 +744,25 @@ def _refine_dct_block(ac_huff, ss, se, al, eobrun, br, coeffs):
 
 
 def has_ycbcr_colorspace(jpg) -> bool:
-    """jpeg_data_decoder.cc:25-43 colorspace heuristic."""
-    is_ycbcr = True
+    """jpeg_data_decoder.cc:26-43 colorspace heuristic (libjpeg mimic).
+
+    Exact mirror of the reference: any APP0 segment => YCbCr immediately;
+    any APP14 of size >= 15 latches the Adobe transform at fixed offset
+    app[14] (no 'Adobe' string check); otherwise fall through to the
+    R/G/B component-id check.
+    """
+    has_adobe = False
+    transform = 0
     for app in jpg.app_data:
-        # Adobe APP14 transform flag.
-        if app[0] == 0xEE and len(app) >= 15 and app[3:8] == b"Adobe":
-            transform = app[-1]
-            is_ycbcr = transform != 0
-            break
-    if len(jpg.components) == 3 and not any(
-            a[0] == 0xEE for a in jpg.app_data):
-        ids = [c.id for c in jpg.components]
-        if ids == [ord('R'), ord('G'), ord('B')]:
-            return False
-    return is_ycbcr
+        if app[0] == 0xE0:
+            return True
+        if app[0] == 0xEE and len(app) >= 15:
+            has_adobe = True
+            transform = app[14]
+    if has_adobe:
+        return transform != 0
+    ids = [c.id for c in jpg.components[:3]]
+    return ids != [ord('R'), ord('G'), ord('B')]
 
 
 def check_jpeg_sanity(jpg) -> bool:

@@ -268,12 +268,11 @@ int64_t gt_decode_scan(
   int restart_to_go = restart_interval;
   bool herr = false;
 
-  // Non-interleaved single-component scan uses the component's own grid.
+  // The caller passes the scan grid: the MCU grid for interleaved scans,
+  // or DivCeil(width*h_samp, 8*max_h) x DivCeil(height*v_samp, 8*max_v)
+  // for non-interleaved scans (jpeg_data_reader.cc:770-778). wib[c]
+  // remains the coefficient-storage row stride in both cases.
   int rows = mcu_rows, cols = mcu_cols;
-  if (ncomp_scan == 1) {
-    rows = hib[0];
-    cols = wib[0];
-  }
 
   for (int my = 0; my < rows; ++my) {
     for (int mx = 0; mx < cols; ++mx) {

@@ -179,3 +179,71 @@ def test_unsupported_samplings_rejected(rgb96x64):
                                                    quality=90)
     assert process_jpeg_bytes(params, bcmyk.getvalue(),
                               ProcessStats()) is None
+
+
+@pytest.mark.parametrize("w,h", [(24, 24), (17, 24), (24, 17), (23, 23)])
+def test_progressive_420_odd_geometry(w, h):
+    """Non-interleaved progressive scans use the DivCeil(width*h_samp/
+    (8*max_h)) grid, not the MCU-padded block grid (jpeg_data_reader.cc:
+    770-778). Regression: 4:2:0 luma scans with width/height mod 16 in
+    1..8 previously desynced the decoder (ADVICE r1, high)."""
+    from PIL import Image
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, format="JPEG", quality=90,
+                              subsampling=2, progressive=True)
+    data = buf.getvalue()
+    jpg = reader.read_jpeg(data)
+    assert jpg.width == w and jpg.height == h
+    # Native and Python scan decoders must agree on the fixed grid.
+    from guetzli_tpu import native
+    real = native.get_lib
+    native.get_lib = lambda: None
+    try:
+        jpg_py = reader.read_jpeg(data)
+    finally:
+        native.get_lib = real
+    for cn, cp in zip(jpg.components, jpg_py.components):
+        np.testing.assert_array_equal(cn.coeffs, cp.coeffs)
+
+
+def test_has_ycbcr_colorspace_heuristic(rgb96x64):
+    """jpeg_data_decoder.cc:26-43: APP0 wins immediately; APP14 (size>=15,
+    no string check) latches transform at offset 14; component-id R/G/B
+    check only as fallback (ADVICE r1, medium)."""
+    data = _pil_jpeg(rgb96x64, 0)
+    jpg = reader.read_jpeg(data)
+
+    def mk(app_data, ids=(1, 2, 3)):
+        j = jd.JpegData(width=1, height=1)
+        j.app_data = app_data
+        j.components = [jd.Component(id=i) for i in ids]
+        return j
+
+    # JFIF APP0 => YCbCr even if an Adobe APP14 with transform=0 follows.
+    adobe0 = bytes([0xEE]) + b"\x00\x0cAdobe" + bytes(7) + b"\x00"
+    assert len(adobe0) >= 15
+    assert reader.has_ycbcr_colorspace(mk([b"\xe0" + bytes(14), adobe0]))
+    # Adobe APP14 transform=0, no APP0 => not YCbCr.
+    assert not reader.has_ycbcr_colorspace(mk([adobe0]))
+    # Adobe APP14 transform=1 at fixed offset 14, longer payload, and no
+    # 'Adobe' string: still honored.
+    adobe1 = bytes([0xEE]) + bytes(13) + b"\x01" + bytes(9)
+    assert reader.has_ycbcr_colorspace(mk([adobe1]))
+    # No markers: R/G/B component ids => RGB, anything else => YCbCr.
+    assert not reader.has_ycbcr_colorspace(
+        mk([], ids=(ord("R"), ord("G"), ord("B"))))
+    assert reader.has_ycbcr_colorspace(mk([], ids=(1, 2, 3)))
+
+
+def test_progressive_al_limit(rgb96x64):
+    """Scans with Al > 10 are rejected (jpeg_data_reader.cc:811-815)."""
+    data = bytearray(_pil_jpeg(rgb96x64, 0, progressive=True))
+    # Find the first SOS and force Ah/Al byte to Al=11.
+    i = data.find(b"\xff\xda")
+    assert i > 0
+    ln = (data[i + 2] << 8) | data[i + 3]
+    data[i + 2 + ln - 1] = 0x0B  # Ah=0, Al=11
+    with pytest.raises(reader.JpegError):
+        reader.read_jpeg(bytes(data))
