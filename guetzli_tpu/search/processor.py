@@ -925,8 +925,10 @@ def process_jpeg_bytes(params: Params, data: bytes,
         return None
     rgb = decode_jpeg_to_rgb(jpg)
     if rgb is None:
-        sys.stderr.write("Unsupported input JPEG colorspace/sampling.\n")
-        return None
+        # ProcessUnsupportedJpegData (processor.cc:1069-1153): CMYK/YCCK,
+        # exotic sampling (422/411/...), grayscale etc. are decoded to RGB
+        # by libjpeg and re-encoded from pixels.
+        return process_unsupported_jpeg_bytes(params, data, stats)
     comparator = None
     if jpg.width >= 32 and jpg.height >= 32:
         comparator = Comparator(rgb, jpg.width, jpg.height,
@@ -935,6 +937,40 @@ def process_jpeg_bytes(params: Params, data: bytes,
     if not proc.process_jpeg_data(jpg):
         return None
     return proc.final.jpeg_data
+
+
+def process_unsupported_jpeg_bytes(params: Params, data: bytes,
+                                   stats: ProcessStats = None):
+    """ProcessUnsupportedJpegData (processor.cc:1069-1153).
+
+    JPEGs outside the 3-component YCbCr 444/420 fast path (CMYK, YCCK,
+    4:2:2/4:1:1 sampling, grayscale, RGB-tagged) are decoded to RGB pixels
+    and re-enter the pixel pipeline. The reference forces JCS_RGB through
+    libjpeg/turbojpeg and converts CMYK with (c*k+c+128)>>8 on the raw
+    (Adobe-inverted) planes (processor.cc:1069-1086); PIL's libjpeg-backed
+    convert("RGB") is byte-identical to that formula, so we use it as the
+    decode oracle.
+    """
+    import io as _io
+    try:
+        from PIL import Image
+    except ImportError:
+        sys.stderr.write(
+            "Unsupported input JPEG and PIL is unavailable for the "
+            "full-JPEG fallback.\nPlease provide the input as PNG.\n")
+        return None
+    try:
+        im = Image.open(_io.BytesIO(data))
+        im = im.convert("RGB")
+    except Exception as e:  # PIL raises assorted types on corrupt input
+        sys.stderr.write("Can't decode unsupported JPEG: %s\n" % e)
+        return None
+    rgb = np.asarray(im, dtype=np.uint8)
+    h, w = rgb.shape[:2]
+    try:
+        return process_rgb(params, rgb.reshape(h, w, 3), w, h, stats)
+    except ValueError:
+        return None
 
 
 def process_rgb(params: Params, rgb, w, h,

@@ -158,27 +158,40 @@ def test_restart_marker_input(rgb96x64):
         np.testing.assert_array_equal(cn.coeffs, cp.coeffs)
 
 
-def test_unsupported_samplings_rejected(rgb96x64):
-    """4:2:2 and CMYK inputs are rejected like the reference without
-    __SUPPORT_FULL_JPEG__ (processor.cc:946-963, 1150-1153)."""
+@pytest.mark.parametrize("kind", ["422", "cmyk", "gray"])
+def test_full_jpeg_input(rgb96x64, kind):
+    """4:2:2, CMYK and grayscale JPEG inputs take the full-JPEG fallback
+    (ProcessUnsupportedJpegData, processor.cc:1069-1153): libjpeg decode
+    to RGB, then re-encode from pixels. Parity by construction: output
+    must byte-equal process_rgb on the PIL-decoded pixels, because PIL's
+    libjpeg convert('RGB') is byte-identical to the reference's
+    tjDecompress2+cmyk2rgb path (verified: max diff 0)."""
     import io as _io
 
     from PIL import Image
     from guetzli_tpu import consts
     from guetzli_tpu.search.processor import (Params, ProcessStats,
-                                              process_jpeg_bytes)
+                                              process_jpeg_bytes,
+                                              process_rgb)
     params = Params()
     params.butteraugli_target = consts.butteraugli_score_for_quality(95)
-    b422 = _io.BytesIO()
-    Image.fromarray(rgb96x64).save(b422, format="JPEG", quality=90,
-                                   subsampling=1)
-    assert process_jpeg_bytes(params, b422.getvalue(),
-                              ProcessStats()) is None
-    bcmyk = _io.BytesIO()
-    Image.fromarray(rgb96x64).convert("CMYK").save(bcmyk, format="JPEG",
-                                                   quality=90)
-    assert process_jpeg_bytes(params, bcmyk.getvalue(),
-                              ProcessStats()) is None
+    im = Image.fromarray(rgb96x64[:40, :40])
+    buf = _io.BytesIO()
+    if kind == "422":
+        im.save(buf, format="JPEG", quality=90, subsampling=1)
+    elif kind == "cmyk":
+        im.convert("CMYK").save(buf, format="JPEG", quality=90)
+    else:
+        im.convert("L").save(buf, format="JPEG", quality=90)
+    data = buf.getvalue()
+    out = process_jpeg_bytes(params, data, ProcessStats())
+    assert out is not None
+    back = reader.read_jpeg(out)
+    assert back.width == 40 and back.height == 40
+
+    pil_rgb = np.asarray(Image.open(_io.BytesIO(data)).convert("RGB"))
+    direct = process_rgb(params, pil_rgb, 40, 40, ProcessStats())
+    assert out == direct
 
 
 @pytest.mark.parametrize("w,h", [(24, 24), (17, 24), (24, 17), (23, 23)])
