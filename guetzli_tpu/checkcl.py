@@ -2,12 +2,19 @@
 
 The reference's --checkcl mode runs every OpenCL kernel next to the CPU
 implementation on the same inputs and reports per-stage mismatch counts at
-tol=0.001 (clguetzli_test.cpp:21-36). The TPU build has two alternative
-implementations of hot stages -- the fused Pallas tile-compare kernel
-(kernels/tile_compare.py) and the ppermute halo-exchange sharded blur
-(parallel/halo.py) -- and this module verifies both against the canonical
-XLA pipeline on the *user's actual image* at runtime, printing the same
-kind of per-stage mismatch report.
+tol=0.001 (clguetzli_test.cpp:21-36, one tcl* comparator per stage at
+:38-449). Here the "CPU implementation" is ops/numpy_ref.py -- a float64
+NumPy build of every butteraugli stage validated against reference dumps --
+and each XLA stage is diffed against it on the *user's actual image*:
+
+  opsin, each blur sigma, MaskHighIntensityChange, EdgeDetectorMap,
+  BlockDiffMap (dc+ac), EdgeDetectorLowFreq, DiffPrecompute, Average5x5,
+  MinSquareVal, Mask(+dc), CombineChannels, CalculateDiffmap, score, and
+  the per-block zeroing-order error core (CompareBlock).
+
+Two alternative device paths keep their dual-execution checks as well: the
+fused Pallas tile-compare kernel and the ppermute halo-exchange sharded
+blur.
 """
 
 import sys
@@ -28,8 +35,134 @@ def _report(stage, got, want, tol=_TOL):
     return bad
 
 
+def _stage_checks(rgb, w, h):
+    """Diff every XLA butteraugli stage against the float64 NumPy oracle
+    on this image. Returns total mismatch count."""
+    import jax.numpy as jnp
+
+    from guetzli_tpu import consts
+    from guetzli_tpu.ops import blockdiff as bd_ops
+    from guetzli_tpu.ops import diffmap as dm_ops
+    from guetzli_tpu.ops import numpy_ref as nr
+    from guetzli_tpu.ops import opsin as opsin_ops
+    from guetzli_tpu.ops.blur import blur as xla_blur
+
+    total = 0
+    lut = consts.SRGB_TO_LINEAR.astype(np.float64)
+    rgb = np.asarray(rgb, dtype=np.uint8).reshape(h, w, 3)
+    lin0 = lut[rgb].transpose(2, 0, 1)                       # [3, H, W]
+    # Candidate: the coarsely-quantized (quant=3) reconstruction, decoded
+    # through the production path -- a realistic "distorted" second image.
+    from guetzli_tpu.codec.encoder import encode_rgb_to_jpeg
+    from guetzli_tpu.search.processor import decode_jpeg_to_rgb
+    jpg = encode_rgb_to_jpeg(rgb, w, h,
+                             quant=np.full((3, 64), 3, dtype=np.int32))
+    rgb1 = decode_jpeg_to_rgb(jpg)
+    lin1 = lut[rgb1].transpose(2, 0, 1)
+
+    f32 = lambda a: jnp.asarray(np.asarray(a, dtype=np.float32))
+
+    # Stage: blur, each sigma the pipeline uses (tclBlur analog).
+    sigmas = sorted({consts.OPSIN_SIGMA, consts.EDGE_LF_SIGMA,
+                     consts.DIFFMAP_SIGMA}
+                    | set(consts.EDGE_DETECTOR_SIGMAS)
+                    | set(consts.MASK_SIGMAS))
+    for s in sigmas:
+        want = nr.blur(lin0[1], s, 0.0)
+        got = xla_blur(f32(lin0[1]), s, 0.0)
+        total += _report(f"Blur sigma={s:g}", got, want)
+
+    # Stage: opsin dynamics (tclOpsinDynamicsImage).
+    xyb0 = nr.opsin_dynamics_image(lin0)
+    xyb1 = nr.opsin_dynamics_image(lin1)
+    # The sensitivity division gamma(pre)/pre amplifies f32-vs-f64 blur
+    # noise; the reference diffs two *float32* builds (clguetzli_test.cpp:27)
+    # so its 1e-3 never sees this. 5e-3 still catches real kernel bugs.
+    total += _report("OpsinDynamicsImage",
+                     opsin_ops.opsin_dynamics_image(f32(lin0)), xyb0,
+                     tol=5e-3)
+
+    # Stage: MaskHighIntensityChange.
+    m0, m1 = nr.mask_high_intensity_change(xyb0, xyb1)
+    g0, g1 = dm_ops.mask_high_intensity_change(f32(xyb0), f32(xyb1))
+    total += _report("MaskHighIntensityChange",
+                     np.stack([np.asarray(g0), np.asarray(g1)]),
+                     np.stack([m0, m1]))
+
+    # Stage: EdgeDetectorMap.
+    want_edge = nr.edge_detector_map(m0, m1)
+    got_edge = dm_ops.edge_detector_map(f32(m0), f32(m1))
+    total += _report("EdgeDetectorMap", got_edge, want_edge)
+
+    # Stage: BlockDiffMap (dc + ac).
+    want_dc, want_ac = nr.block_diff_map(m0, m1)
+    got_dc, got_ac = dm_ops.block_diff_map(f32(m0), f32(m1))
+    total += _report("BlockDiffMap(dc)", got_dc, want_dc)
+    total += _report("BlockDiffMap(ac)", got_ac, want_ac)
+
+    # Stage: EdgeDetectorLowFreq (added into the ac map).
+    want_ac2 = nr.edge_detector_low_freq(m0, m1, want_ac)
+    got_ac2 = dm_ops.edge_detector_low_freq(f32(m0), f32(m1),
+                                            f32(want_ac))
+    total += _report("EdgeDetectorLowFreq", got_ac2, want_ac2)
+
+    # Stage: DiffPrecompute -> Average5x5 -> MinSquareVal -> Mask.
+    want_pre = nr.diff_precompute(m0, m1)
+    total += _report("DiffPrecompute",
+                     dm_ops.diff_precompute(f32(m0), f32(m1)), want_pre)
+    want_avg = np.stack([nr.average5x5(p) for p in want_pre])
+    total += _report("Average5x5", dm_ops.average5x5(f32(want_pre)),
+                     want_avg)
+    want_min = np.stack([nr.min_square_val(p) for p in want_avg])
+    total += _report("MinSquareVal", dm_ops.min_square_val(f32(want_avg)),
+                     want_min)
+    want_mask, want_mask_dc = nr.mask(m0, m1)
+    got_mask, got_mask_dc = dm_ops.mask(f32(m0), f32(m1))
+    total += _report("Mask", got_mask, want_mask)
+    total += _report("Mask(dc)", got_mask_dc, want_mask_dc)
+
+    # Stage: CombineChannels + CalculateDiffmap + score.
+    want_res = nr.combine_channels(want_mask, want_mask_dc, want_dc,
+                                   want_ac2, want_edge, h, w)
+    got_res = dm_ops.combine_channels(
+        f32(want_mask), f32(want_mask_dc), f32(want_dc), f32(want_ac2),
+        f32(want_edge), h, w)
+    total += _report("CombineChannels", got_res, want_res)
+    want_dm = nr.calculate_diffmap(want_res, h, w)
+    got_dm = dm_ops.calculate_diffmap(f32(want_res), h, w)
+    total += _report("CalculateDiffmap", got_dm, want_dm)
+    total += _report(
+        "ButteraugliScore",
+        np.asarray(dm_ops.score_from_diffmap(jnp.asarray(got_dm))),
+        nr.score_from_diffmap(want_dm))
+
+    # Stage: per-block zeroing-order error core (CompareBlock /
+    # tclComputeBlockZeroingOrder analog) on a sample of blocks.
+    from guetzli_tpu.ops import tiles as tile_ops
+    bw, bh = -(-w // 8), -(-h // 8)
+    nb = min(bw * bh, 128)
+    xyb0_tiles = np.asarray(
+        tile_ops.original_opsin_tiles(rgb, w, h, bw, bh))[:nb]
+    coeffs = np.stack([c.coeffs.astype(np.int32) * 3
+                       for c in jpg.components])
+    cand = np.transpose(coeffs, (1, 0, 2))[:nb]             # [nb, 3, 64]
+    ysel, xsel = tile_ops.edge_gather_indices(bw, bh, w, h)
+    cand_lin = np.asarray(tile_ops.tiles_to_linear_rgb(
+        jnp.asarray(cand), jnp.asarray(xsel[:nb]), jnp.asarray(ysel[:nb])))
+    scales = np.ascontiguousarray(
+        np.stack([np.asarray(want_mask)[c, (np.arange(nb) // bw) * 8,
+                                        (np.arange(nb) % bw) * 8]
+                  for c in range(3)], axis=-1))
+    want_cb = nr.compare_blocks(xyb0_tiles.astype(np.float64),
+                                cand_lin.astype(np.float64), scales)
+    got_cb = tile_ops.compare_blocks(f32(xyb0_tiles), f32(cand_lin),
+                                     f32(scales))
+    total += _report(f"CompareBlock[{nb} blocks]", got_cb, want_cb)
+    return total
+
+
 def run_checkcl(rgb, w, h) -> int:
-    """Verify alternative kernels against the XLA path on this image.
+    """Verify every stage and alternative kernel on this image.
 
     Returns the total mismatch count (0 = all stages agree)."""
     import jax
@@ -42,9 +175,9 @@ def run_checkcl(rgb, w, h) -> int:
     from guetzli_tpu.ops import tiles as tile_ops
     from guetzli_tpu.parallel import halo
 
-    total = 0
+    total = _stage_checks(rgb, w, h)
 
-    # Stage 1: fused Pallas tile-compare vs the XLA tile pipeline
+    # Alternative path 1: fused Pallas tile-compare vs the XLA tile pipeline
     # (the analog of tclComputeBlockZeroingOrder, clguetzli_test.cpp).
     jpg = encode_rgb_to_jpeg(
         rgb, w, h, quant=np.full((3, 64), 3, dtype=np.int32))
@@ -75,8 +208,8 @@ def run_checkcl(rgb, w, h) -> int:
     except Exception as e:  # Mosaic lowering unsupported on this backend
         sys.stderr.write(f"checkcl tile_compare(pallas): SKIPPED ({e})\n")
 
-    # Stage 2: ppermute halo-exchange sharded blur vs single-device blur
-    # (the analog of tclBlur; exercises the multi-chip collective path).
+    # Alternative path 2: ppermute halo-exchange sharded blur vs
+    # single-device blur (exercises the multi-chip collective path).
     ndev = len(jax.devices())
     if ndev > 1:
         try:
