@@ -105,6 +105,60 @@ def blur(channel, sigma: float, border_ratio: float = 0.0):
     return out
 
 
+def blur_step(sigma: float) -> int:
+    return max(1, int(sigma / 3.0))
+
+
+def border_scales(size: int, padded: int, sigma: float,
+                  border_ratio: float = 0.0):
+    """Host-side border scales for a *padded* axis: the per-position
+    normalization for actual extent ``size`` laid into a
+    ``ceil(padded/step)``-long array (entries past the valid strided
+    positions are 1.0 and must be masked downstream).
+
+    This is what lets one compiled program serve every image size in a
+    shape bucket: positions and masks are computed in-graph from dynamic
+    (w, h) scalars, while these precision-critical float64 weights stay
+    host-computed exactly as in the static path (butteraugli.cc:76-89)."""
+    taps, offset = gauss_taps(sigma)
+    step = blur_step(sigma)
+    real = _border_weights(size, tuple(taps.tolist()), offset, step,
+                           border_ratio)
+    n_out = -(-padded // step)
+    out = np.ones(n_out, dtype=np.float32)
+    out[:len(real)] = real[:n_out]
+    return out
+
+
+def blur_dyn(channel, sigma: float, scale_x, scale_y):
+    """Blur [..., Hp, Wp] with host-supplied border scales (padded mode).
+
+    The caller must pre-mask the input to zero outside the valid region;
+    combined with the actual-extent ``scale_x``/``scale_y`` this reproduces
+    the reference's border reweighting exactly at every valid pixel, while
+    the program shape depends only on the padded (bucket) dimensions."""
+    lead = channel.shape[:-2]
+    h, w = channel.shape[-2:]
+    taps, offset = gauss_taps(sigma)
+    step = blur_step(sigma)
+    jt = jnp.asarray(taps)
+
+    t = _conv1d_strided(channel.reshape(-1, w), jt, offset, step)
+    dw = t.shape[-1]
+    t = t * scale_x[None, :]
+    t = t.reshape(lead + (h, dw))
+    t = jnp.swapaxes(t, -1, -2)
+    t = _conv1d_strided(t.reshape(-1, h), jt, offset, step)
+    t = t * scale_y[None, :]
+    dh = t.shape[-1]
+    out = jnp.swapaxes(t.reshape(lead + (dw, dh)), -1, -2)
+
+    if step > 1:
+        out = jnp.repeat(jnp.repeat(out, step, axis=-2), step, axis=-1)
+        out = out[..., :h, :w]
+    return out
+
+
 def blur_planes(planes, sigma: float, border_ratio: float = 0.0):
     """Blur each channel of a planar [C, H, W] image (one batched conv)."""
     return blur(planes, sigma, border_ratio)

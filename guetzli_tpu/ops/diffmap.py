@@ -337,3 +337,307 @@ def diffmap_opsin_dynamics(xyb0, xyb1, step=3):
 def score_from_diffmap(dm):
     """butteraugli.cc:1233-1239."""
     return jnp.max(dm)
+
+
+# ---------------------------------------------------------------------------
+# Padded ("dynamic geometry") variants: identical math with the true image
+# size (w, h) as traced int32 scalars and every array shape fixed by the
+# padded bucket (Hp, Wp), so one compiled program serves every image in a
+# bucket (ops/padgeom.py). Positions/validity masks are computed in-graph;
+# the float64-precise blur border scales arrive as operand arrays `sc`.
+# Inputs may hold garbage outside the valid region; every consumer masks.
+
+from guetzli_tpu.ops.blur import blur_dyn  # noqa: E402
+
+
+def _vmask(hp, wp, w, h):
+    row = jnp.arange(hp, dtype=jnp.int32)[:, None]
+    col = jnp.arange(wp, dtype=jnp.int32)[None, :]
+    return (row < h) & (col < w)
+
+
+def _res_positions_dyn(padded, actual, step, margin):
+    """Static-count step-grid positions + dynamic validity (the padded
+    analog of _res_positions)."""
+    n = (padded - margin - 1) // step + 1
+    pos = jnp.arange(n, dtype=jnp.int32) * step
+    return pos, pos + margin < actual
+
+
+def mask_high_intensity_change_dyn(xyb0, xyb1, w, h):
+    ave = (xyb0 + xyb1) * 0.5
+    y = ave[1]
+    hp, wp = y.shape
+    row = jnp.arange(hp, dtype=jnp.int32)[:, None]
+    col = jnp.arange(wp, dtype=jnp.int32)[None, :]
+    big = jnp.float32(-1.0)
+
+    def sq_shift(dy, dx):
+        shifted = jnp.roll(jnp.roll(y, -dy, axis=0), -dx, axis=1)
+        d = shifted - y
+        d = d * d
+        if dx == -1:
+            valid = col >= 1
+        elif dx == 1:
+            valid = col + 1 < w
+        elif dy == -1:
+            valid = row >= 1
+        else:
+            valid = row + 1 < h
+        return jnp.where(jnp.broadcast_to(valid, (hp, wp)), d, big)
+
+    sqr_max = jnp.maximum(
+        jnp.maximum(sq_shift(0, -1), sq_shift(0, 1)),
+        jnp.maximum(sq_shift(-1, 0), sq_shift(1, 0)))
+
+    red = consts.MHIC_REDUCTION.astype(np.float32)
+    chroma = np.float32(consts.MHIC_CHROMA_BALANCE)
+    chroma_scale = chroma / (y + chroma)
+    mix = jnp.stack([
+        chroma_scale * np.float32(red[0]) / (sqr_max + np.float32(red[0])),
+        np.float32(red[1]) / (sqr_max + np.float32(red[1])),
+        chroma_scale * np.float32(red[2]) / (sqr_max + np.float32(red[2])),
+    ])
+    out0 = mix * xyb0 + (1.0 - mix) * ave
+    out1 = mix * xyb1 + (1.0 - mix) * ave
+    return out0, out1
+
+
+def edge_detector_map_dyn(xyb0, xyb1, w, h, sc, step=3):
+    _, hp, wp = xyb0.shape
+    vm = _vmask(hp, wp, w, h)
+    pairs = [blur_dyn(jnp.stack([xyb0[c] * vm, xyb1[c] * vm]), s,
+                      *sc["ed%d" % c])
+             for c, s in enumerate(consts.EDGE_DETECTOR_SIGMAS)]
+    blurred0 = jnp.stack([p[0] for p in pairs])
+    blurred1 = jnp.stack([p[1] for p in pairs])
+
+    wgt = np.float32(consts.EDGE_DETECTOR_W)
+
+    def dir_diff(b, axis):
+        fwd = jnp.roll(b, -3, axis=axis)
+        back = jnp.roll(b, 3, axis=axis)
+        return wgt * (back - fwd)
+
+    dh0 = dir_diff(blurred0, 2)
+    dh1 = dir_diff(blurred1, 2)
+    dv0 = dir_diff(blurred0, 1)
+    dv1 = dir_diff(blurred1, 1)
+
+    def lf_sq(d0, d1):
+        vx0, vy0, vz0 = bd.xyb_low_freq_to_vals(d0[0], d0[1], d0[2])
+        vx1, vy1, vz1 = bd.xyb_low_freq_to_vals(d1[0], d1[1], d1[2])
+        return jnp.stack([(vx0 - vx1) ** 2, (vy0 - vy1) ** 2,
+                          (vz0 - vz1) ** 2])
+
+    hmap = lf_sq(dh0, dh1)
+    vmap = lf_sq(dv0, dv1)
+
+    xs = jnp.arange(wp, dtype=jnp.int32)
+    ys = jnp.arange(hp, dtype=jnp.int32)
+    h_valid_x = (xs >= 3) & (xs + 3 < w)          # [wp], row-independent
+    v_valid_y = (ys >= 3) & (ys + 3 < h)          # [hp]
+
+    rx, rx_ok = _res_positions_dyn(wp, w, step, 8 - step)
+    ry, ry_ok = _res_positions_dyn(hp, h, step, 8 - step)
+    px = jnp.clip(jnp.minimum(rx, w - 8), 0)
+    py = jnp.clip(jnp.minimum(ry, h - 8), 0)
+
+    acc = jnp.zeros((3, len(ry), len(rx)))
+    cnt = jnp.zeros((len(ry), len(rx)))
+    for oy, ox in ((0, 0), (7, 0), (0, 7), (7, 7)):
+        gy = py + oy
+        gx = px + ox
+        hm = jnp.take(jnp.take(hmap, gy, axis=1), gx, axis=2)
+        vmp = jnp.take(jnp.take(vmap, gy, axis=1), gx, axis=2)
+        hv = jnp.broadcast_to(h_valid_x[gx][None, :], cnt.shape)
+        vv = jnp.broadcast_to(v_valid_y[gy][:, None], cnt.shape)
+        acc = acc + jnp.where(hv, hm, 0.0) + jnp.where(vv, vmp, 0.0)
+        cnt = cnt + hv.astype(acc.dtype) + vv.astype(acc.dtype)
+
+    grid_ok = ry_ok[:, None] & rx_ok[None, :]
+    mul = (np.float32(consts.EDGE_DETECTOR_WEIGHT) * 8.0
+           / jnp.where(cnt > 0, cnt, 1.0))
+    out = jnp.moveaxis(acc * mul[None], 0, -1)
+    out = jnp.where(grid_ok[:, :, None], out, 0.0)
+    return _pad_to_res(out, wp, hp, step)
+
+
+def block_diff_map_dyn(xyb0, xyb1, w, h, step=3):
+    _, hp, wp = xyb0.shape
+    rx, rx_ok = _res_positions_dyn(wp, w, step, 8 - step - 1)
+    ry, ry_ok = _res_positions_dyn(hp, h, step, 8 - step - 1)
+    px = jnp.clip(jnp.minimum(rx, w - 8), 0)
+    py = jnp.clip(jnp.minimum(ry, h - 8), 0)
+
+    e8 = jnp.arange(8, dtype=jnp.int32)
+    yy = py[:, None, None, None] + e8[None, None, :, None]
+    xx = px[None, :, None, None] + e8[None, None, None, :]
+    yy, xx = jnp.broadcast_arrays(yy, xx)
+
+    def windows(img):
+        return jnp.moveaxis(img[:, yy, xx], 0, 2)
+
+    w0 = windows(xyb0).reshape(len(py), len(px), 3, 64)
+    w1 = windows(xyb1).reshape(len(py), len(px), 3, 64)
+    dc, ac, _edge = bd.block_diff(w0, w1)
+    grid_ok = (ry_ok[:, None] & rx_ok[None, :])[:, :, None]
+    dc = jnp.where(grid_ok, dc, 0.0)
+    ac = jnp.where(grid_ok, ac, 0.0)
+    return _pad_to_res(dc, wp, hp, step), _pad_to_res(ac, wp, hp, step)
+
+
+def edge_detector_low_freq_dyn(xyb0, xyb1, ac_map, w, h, sc, step=3):
+    _, hp, wp = xyb0.shape
+    vm = _vmask(hp, wp, w, h)
+    both = blur_dyn(jnp.stack([xyb0 * vm[None], xyb1 * vm[None]]),
+                    consts.EDGE_LF_SIGMA, *sc["edlf"])
+    e = both[1] - both[0]
+
+    ys, ys_ok = _res_positions_dyn(hp, h, step, 8)
+    xs, xs_ok = _res_positions_dyn(wp, w, step, 8)
+
+    def shifted(dy, dx):
+        return e[:, ys[:, None] + dy, xs[None, :] + dx]
+
+    base = shifted(0, 0)
+    diffs = [
+        base - shifted(0, 8),
+        base - shifted(8, 0),
+        base - shifted(6, 6),
+    ]
+    dx4 = jnp.where((xs < 8)[None, None, :],
+                    jnp.zeros_like(base),
+                    base - e[:, ys[:, None] + 6,
+                             jnp.maximum(xs - 6, 0)[None, :]])
+    diffs.append(dx4)
+
+    per_k = []
+    for d in diffs:
+        sx, sy, sz = bd.xyb_diff_low_freq_squared(d[0], d[1], d[2])
+        per_k.append(jnp.stack([sx, sy, sz]))
+    md = jnp.maximum(jnp.maximum(per_k[0], per_k[1]),
+                     jnp.maximum(per_k[2], per_k[3]))
+    grid_ok = ys_ok[:, None] & xs_ok[None, :]
+    add = jnp.moveaxis(md, 0, -1) * np.float32(consts.EDGE_LF_MUL)
+    add = jnp.where(grid_ok[:, :, None], add, 0.0)
+
+    off = 8 // step
+    pad_y = ac_map.shape[0] - add.shape[0]
+    pad_x = ac_map.shape[1] - add.shape[1] - off
+    add_full = jnp.pad(add, ((0, pad_y), (off, pad_x), (0, 0)))
+    return ac_map + add_full
+
+
+def diff_precompute_dyn(xyb0, xyb1, w, h):
+    _, hp, wp = xyb0.shape
+    row = jnp.arange(hp, dtype=jnp.int32)[None, :, None]
+    col = jnp.arange(wp, dtype=jnp.int32)[None, None, :]
+
+    def vals(d):
+        vx = bd.interpolate(consts.HF_COLOR_DIFF_DX,
+                            d[0] * np.float32(consts.XYB_HF_XMUL))
+        vy = bd.interpolate(consts.HF_COLOR_DIFF_DY,
+                            d[1] * np.float32(consts.XYB_HF_YMUL))
+        vz = d[2] * np.float32(consts.XYB_HF_ZMUL)
+        return jnp.stack([vx, vy, vz])
+
+    def sup(img):
+        # neighbor at x+1, or x-1 on the (dynamic) right border
+        right = jnp.where(col + 1 == w, jnp.roll(img, 1, axis=2),
+                          jnp.roll(img, -1, axis=2))
+        down = jnp.where(row + 1 == h, jnp.roll(img, 1, axis=1),
+                         jnp.roll(img, -1, axis=1))
+        vh = vals(img - right)
+        vv = vals(img - down)
+        return jnp.abs(vh) + jnp.abs(vv)
+
+    return jnp.minimum(sup(xyb0), sup(xyb1))
+
+
+def mask_dyn(xyb0, xyb1, w, h, sc):
+    _, hp, wp = xyb0.shape
+    vm = _vmask(hp, wp, w, h)
+    m = diff_precompute_dyn(xyb0, xyb1, w, h)
+    m = jnp.where(vm[None], m, 0.0)               # zero-pad semantics
+    chans = []
+    for c in range(3):
+        mc = average5x5(m[c])
+        mc = jnp.where(vm, mc, jnp.inf)           # out-of-image skipped
+        mc = min_square_val(mc, 4, 0)
+        mc = jnp.where(vm, mc, 0.0)
+        mc = blur_dyn(mc, consts.MASK_SIGMAS[c], *sc["mask%d" % c])
+        chans.append(mc)
+    s = jnp.stack(chans)
+    p = s * consts.MASK_W.astype(np.float32)[:, None, None]
+
+    g2 = np.float32(consts.K_GLOBAL_SCALE * consts.K_GLOBAL_SCALE)
+    mask_out = jnp.stack([
+        bd.interpolate_clamp_negative(consts.MASK_LUTS['x'], p[0]),
+        bd.interpolate_clamp_negative(consts.MASK_LUTS['y'], p[1]),
+        bd.interpolate_clamp_negative(consts.MASK_LUTS['b'], p[2]),
+    ]) * g2
+    mask_dc = jnp.stack([
+        bd.interpolate_clamp_negative(consts.MASK_LUTS['dc_x'], p[0]),
+        bd.interpolate_clamp_negative(consts.MASK_LUTS['dc_y'], p[1]),
+        bd.interpolate_clamp_negative(consts.MASK_LUTS['dc_b'], p[2]),
+    ]) * g2
+    return mask_out, mask_dc
+
+
+def combine_channels_dyn(mask_xyb, mask_dc, dc_map, ac_map, edge_map,
+                         w, h, hp, wp, step=3):
+    ry, ry_ok = _res_positions_dyn(hp, h, step, 8 - step)
+    rx, rx_ok = _res_positions_dyn(wp, w, step, 8 - step)
+    msel = mask_xyb[:, ry[:, None] + 3, rx[None, :] + 3]
+    dsel = mask_dc[:, ry[:, None] + 3, rx[None, :] + 3]
+    ny, nx = len(ry), len(rx)
+    dc = dc_map[:ny, :nx]
+    ac = ac_map[:ny, :nx]
+    em = edge_map[:ny, :nx]
+    hi = jax.lax.Precision.HIGHEST
+    res = (jnp.einsum('yxc,cyx->yx', dc, dsel, precision=hi)
+           + jnp.einsum('yxc,cyx->yx', ac, msel, precision=hi)
+           + jnp.einsum('yxc,cyx->yx', em, msel, precision=hi))
+    return jnp.where(ry_ok[:, None] & rx_ok[None, :], res, 0.0)
+
+
+def calculate_diffmap_dyn(res_map, w, h, sc, hp, wp, step=3):
+    s2 = (8 - step) // 2
+    s = 8 - step
+    slope = np.float32(consts.DIFFMAP_INITIAL_SLOPE)
+    val = jnp.where(res_map < 1.0 / (slope * slope),
+                    slope * res_map, jnp.sqrt(res_map))
+    up = jnp.repeat(jnp.repeat(val, step, axis=0), step, axis=1)
+    # Place at offset (s2, s2) in an [hp, wp] canvas, masked to the
+    # valid region (the static path's min(ny*step, h-s2) crop).
+    up = jnp.pad(up, ((s2, max(0, hp - s2 - up.shape[0])),
+                      (s2, max(0, wp - s2 - up.shape[1]))))[:hp, :wp]
+    dm = jnp.where(_vmask(hp, wp, w, h), up, 0.0)
+
+    # Clustered blur of the inner (w-s, h-s) region: shift its origin to
+    # (0, 0) so the sigma>=3 stride grid aligns with the static path.
+    inner = jnp.pad(dm[s2:, s2:], ((0, s2), (0, s2)))
+    inner_ok = _vmask(hp, wp, w - s, h - s)
+    inner = jnp.where(inner_ok, inner, 0.0)
+    blurred = blur_dyn(inner, consts.DIFFMAP_SIGMA, *sc["diffmap"])
+    add = jnp.where(inner_ok, np.float32(consts.DIFFMAP_MUL1) * blurred,
+                    0.0)
+    dm = dm + jnp.pad(add, ((s2, 0), (s2, 0)))[:hp, :wp]
+    return dm * np.float32(1.0 / (1.0 + consts.DIFFMAP_MUL1))
+
+
+def diffmap_opsin_dynamics_dyn(xyb0, xyb1, w, h, sc, step=3):
+    """Padded full metric: [3, Hp, Wp] opsin images + true (w, h) ->
+    [Hp, Wp] diffmap, zero outside the valid region. Requires
+    min(w, h) >= 8 (the processor's <32x32 path never reaches here)."""
+    _, hp, wp = xyb0.shape
+    xyb0m, xyb1m = mask_high_intensity_change_dyn(xyb0, xyb1, w, h)
+    edge_map = edge_detector_map_dyn(xyb0m, xyb1m, w, h, sc, step)
+    dc_map, ac_map = block_diff_map_dyn(xyb0m, xyb1m, w, h, step)
+    ac_map = edge_detector_low_freq_dyn(xyb0m, xyb1m, ac_map, w, h, sc,
+                                        step)
+    mask_xyb, mask_dc = mask_dyn(xyb0m, xyb1m, w, h, sc)
+    res = combine_channels_dyn(mask_xyb, mask_dc, dc_map, ac_map,
+                               edge_map, w, h, hp, wp, step)
+    return calculate_diffmap_dyn(res, w, h, sc, hp, wp, step)

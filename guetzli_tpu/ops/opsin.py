@@ -58,6 +58,20 @@ def opsin_dynamics_image(rgb):
     return _opsin_from_blurred(rgb, blurred)
 
 
+def opsin_dynamics_image_dyn(rgb, w, h, sc):
+    """Padded-bucket opsin: [3, Hp, Wp] linear RGB with true size (w, h)
+    as traced scalars; `sc` holds the host-computed "opsin" blur border
+    scales (ops/padgeom.py). Values outside the valid region are garbage
+    and must be masked by consumers."""
+    hp, wp = rgb.shape[-2:]
+    row = jnp.arange(hp, dtype=jnp.int32)[:, None]
+    col = jnp.arange(wp, dtype=jnp.int32)[None, :]
+    vm = (row < h) & (col < w)
+    from guetzli_tpu.ops.blur import blur_dyn
+    blurred = blur_dyn(rgb * vm[None], consts.OPSIN_SIGMA, *sc["opsin"])
+    return _opsin_from_blurred(rgb, blurred)
+
+
 def opsin_dynamics_blocks(rgb_blocks):
     """Per-tile opsin for [..., 3, 8, 8] tiles (blur stays inside the tile).
 
