@@ -28,7 +28,9 @@ from guetzli_tpu import consts
 from guetzli_tpu.ops import diffmap as dm
 from guetzli_tpu.ops import image as img_ops
 from guetzli_tpu.ops import tiles as tile_ops
-from guetzli_tpu.ops.opsin import opsin_dynamics_image
+from guetzli_tpu.ops.opsin import (opsin_dynamics_image,
+                                   opsin_dynamics_image_dyn)
+from guetzli_tpu.ops.padgeom import PadGeom
 
 
 def score_jpeg(distance, size, target):
@@ -129,6 +131,63 @@ def _compare_weights_444(coeffs, xyb0, target, bw, bh, w, h,
     return dm.score_from_diffmap(dmap), dmap, w4
 
 
+@partial(jax.jit, static_argnames=("bwp", "bhp", "wp", "hp", "sizex",
+                                   "sizey", "gbwp", "gbhp",
+                                   "direction_pos"))
+def _compare_weights_444_dyn(coeffs, xyb0, target, w, h, sc,
+                             bwp, bhp, wp, hp, sizex, sizey, gbwp, gbhp,
+                             direction_pos):
+    """Bucket-shaped fused compare+weights: shapes fixed by the padded
+    bucket, true (w, h) traced (ops/padgeom.py). One compile per bucket."""
+    lin = img_ops.coeffs_to_linear_rgb(coeffs, bwp, bhp, wp, hp)
+    xyb1 = opsin_dynamics_image_dyn(lin, w, h, sc)
+    dmap = dm.diffmap_opsin_dynamics_dyn(xyb0, xyb1, w, h, sc)
+    w4 = _weights_all_radii_impl(
+        dmap, target, sizex, sizey, gbwp, gbhp, direction_pos)
+    return dm.score_from_diffmap(dmap), dmap, w4
+
+
+@partial(jax.jit, static_argnames=("ybwp", "ybhp", "cbwp", "cbhp", "wp",
+                                   "hp", "sizex", "sizey", "gbwp", "gbhp",
+                                   "direction_pos"))
+def _compare_weights_420_dyn(y_coeffs, u_coeffs, v_coeffs, xyb0, target,
+                             w, h, sc, ybwp, ybhp, cbwp, cbhp, wp, hp,
+                             sizex, sizey, gbwp, gbhp, direction_pos):
+    srgb = img_ops.coeffs420_to_srgb_dyn(y_coeffs, u_coeffs, v_coeffs,
+                                         ybwp, ybhp, cbwp, cbhp, wp, hp,
+                                         w, h)
+    xyb1 = opsin_dynamics_image_dyn(img_ops.srgb_to_linear(srgb), w, h, sc)
+    dmap = dm.diffmap_opsin_dynamics_dyn(xyb0, xyb1, w, h, sc)
+    w4 = _weights_all_radii_impl(
+        dmap, target, sizex, sizey, gbwp, gbhp, direction_pos)
+    return dm.score_from_diffmap(dmap), dmap, w4
+
+
+@partial(jax.jit, static_argnames=("cbwp", "cbhp", "wp", "hp"))
+def _chroma_byte_planes_dyn(u_coeffs, v_coeffs, w, h, cbwp, cbhp, wp, hp):
+    return jnp.stack([
+        img_ops.chroma_byte_plane_dyn(u_coeffs, cbwp, cbhp, wp, hp, w, h),
+        img_ops.chroma_byte_plane_dyn(v_coeffs, cbwp, cbhp, wp, hp, w, h)])
+
+
+@partial(jax.jit, static_argnames=("bwp", "bhp", "wp", "hp"))
+def _y_byte_plane_dyn(y_coeffs, bwp, bhp, wp, hp):
+    pix = img_ops.blocks_to_plane(
+        img_ops.idct_blocks(y_coeffs) << 4, bwp, bhp, wp, hp)
+    return img_ops.byte_plane(pix, wp)
+
+
+@jax.jit
+def _opsin_dyn_jit(lin, w, h, sc):
+    return opsin_dynamics_image_dyn(lin, w, h, sc)
+
+
+@jax.jit
+def _whole_image_mask_dyn(xyb0, w, h, sc):
+    mask_xyz, _ = dm.mask_dyn(xyb0, xyb0, w, h, sc)
+    return mask_xyz
+
+
 @partial(jax.jit, static_argnames=("ybw", "ybh", "cbw", "cbh", "w", "h",
                                    "sizex", "sizey", "gbw", "gbh",
                                    "direction_pos"))
@@ -166,29 +225,43 @@ def _compare_block_batch(cand_coeffs, xyb0_tiles, scale, ysel, xsel):
 class Comparator:
     """Per-image butteraugli comparator with device-resident state."""
 
-    def __init__(self, rgb, width, height, target_distance):
+    def __init__(self, rgb, width, height, target_distance, padded=None):
+        import os
         self.width = width
         self.height = height
         self.target_distance = float(target_distance)
         self.rgb_orig = np.asarray(rgb, dtype=np.uint8).reshape(
             height, width, 3)
-        lut = consts.SRGB_TO_LINEAR.astype(np.float32)
-        lin0 = lut[self.rgb_orig].transpose(2, 0, 1)        # [3, H, W]
-        self.xyb0 = jax.device_put(opsin_dynamics_image(jnp.asarray(lin0)))
+        if padded is None:
+            padded = os.environ.get("GUETZLI_TPU_PAD", "1") != "0"
+        self.geom = PadGeom(width, height) if padded else None
+        self._upload_originals()
         self.distance = 0.0
         self.distmap = None
         # Block-comparison state (built lazily by start_block_comparisons).
         self._mask_xyz = None
         self._block_state = {}
 
+    def _upload_originals(self):
+        lut = consts.SRGB_TO_LINEAR.astype(np.float32)
+        lin0 = lut[self.rgb_orig].transpose(2, 0, 1)        # [3, H, W]
+        if self.geom is not None:
+            g = self.geom
+            self._sc = {k: (jnp.asarray(sx), jnp.asarray(sy))
+                        for k, (sx, sy) in g.scales().items()}
+            self._wh = (jnp.int32(g.w), jnp.int32(g.h))
+            self.xyb0 = jax.device_put(_opsin_dyn_jit(
+                jnp.asarray(g.pad_plane(lin0)), *self._wh, self._sc))
+        else:
+            self.xyb0 = jax.device_put(
+                opsin_dynamics_image(jnp.asarray(lin0)))
+
     def recover_device_state(self):
         """Rebuild device-resident state after a TPU worker crash (all
         device buffers are lost when the worker restarts). Host-side
         search state lives in numpy, so recovery is just re-uploading the
         original image's derived tensors."""
-        lut = consts.SRGB_TO_LINEAR.astype(np.float32)
-        lin0 = lut[self.rgb_orig].transpose(2, 0, 1)
-        self.xyb0 = jax.device_put(opsin_dynamics_image(jnp.asarray(lin0)))
+        self._upload_originals()
         self.distmap = None
         self._mask_xyz = None
         self._block_state = {}
@@ -197,8 +270,19 @@ class Comparator:
 
     def compare(self, coeffs, bw, bh):
         """coeffs: [3, bh*bw, 64] int32 dequantized YCbCr coefficients."""
-        score, dmap = _full_compare(jnp.asarray(coeffs), self.xyb0,
-                                    bw=bw, bh=bh, w=self.width, h=self.height)
+        if self.geom is not None:
+            g = self.geom
+            cp = g.pad_blocks(np.asarray(coeffs), bw, bh, g.bwp, g.bhp)
+            score, dmap, _ = _compare_weights_444_dyn(
+                jnp.asarray(cp), self.xyb0,
+                jnp.float32(self.target_distance), *self._wh, self._sc,
+                bwp=g.bwp, bhp=g.bhp, wp=g.wp, hp=g.hp,
+                sizex=8, sizey=8, gbwp=g.bwp, gbhp=g.bhp,
+                direction_pos=True)
+        else:
+            score, dmap = _full_compare(jnp.asarray(coeffs), self.xyb0,
+                                        bw=bw, bh=bh, w=self.width,
+                                        h=self.height)
         self.distance = float(score)
         self.distmap = dmap
         return self.distance
@@ -212,7 +296,7 @@ class Comparator:
         return self.dispatch_compare_with_weights(img, 1, 1.0, 1, 1)
 
     def fetch_compare_plain(self, handle):
-        score, dmap, _unused_w4 = handle
+        score, dmap, _unused_w4, _factors = handle
         self.distance = float(score)
         self.distmap = dmap
         return self.distance
@@ -225,52 +309,86 @@ class Comparator:
 
     def frozen_chroma_blocks(self, img):
         """[NBy, 2, 8, 8] frozen chroma bytes per full-res 8x8 block for
-        the 420 Y pass (edge bytes replicated by clamped gather)."""
+        the 420 Y pass (edge bytes replicated by clamped gather). Padded
+        mode: NBy is the bucket grid."""
         u, v = img.comps[1], img.comps[2]
-        planes = _chroma_byte_planes(
-            jnp.asarray(u.coeffs), jnp.asarray(v.coeffs),
-            bw=u.bw, bh=u.bh, w=self.width, h=self.height)
         w, h = self.width, self.height
         bw, bh = (w + 7) // 8, (h + 7) // 8
+        if self.geom is not None:
+            g = self.geom
+            cbwp, cbhp = g.wp // 16, g.hp // 16
+            up = g.pad_blocks(u.coeffs, u.bw, u.bh, cbwp, cbhp)
+            vp = g.pad_blocks(v.coeffs, v.bw, v.bh, cbwp, cbhp)
+            planes = np.asarray(_chroma_byte_planes_dyn(
+                jnp.asarray(up), jnp.asarray(vp), *self._wh,
+                cbwp=cbwp, cbhp=cbhp, wp=g.wp, hp=g.hp))
+        else:
+            planes = np.asarray(_chroma_byte_planes(
+                jnp.asarray(u.coeffs), jnp.asarray(v.coeffs),
+                bw=u.bw, bh=u.bh, w=w, h=h))
         gx = np.minimum(
             (np.tile(np.arange(bw), bh)[:, None] * 8
              + np.arange(8)[None, :]), w - 1)          # [NB, 8]
         gy = np.minimum(
             (np.repeat(np.arange(bh), bw)[:, None] * 8
              + np.arange(8)[None, :]), h - 1)
-        return planes[:, gy[:, :, None], gx[:, None, :]] \
+        out = planes[:, gy[:, :, None], gx[:, None, :]] \
             .transpose(1, 0, 2, 3)                     # [NB, 2, 8, 8]
+        if self.geom is not None:
+            g = self.geom
+            out = g.pad_blocks(out.reshape(bw * bh, -1), bw, bh,
+                               g.bwp, g.bhp).reshape(-1, 2, 8, 8)
+        return jnp.asarray(out)
 
     def frozen_y_16x16(self, img, cbw, cbh):
         """[NBc, 16, 16] frozen Y bytes per 16x16 macroblock for the 420
-        chroma pass."""
+        chroma pass. Padded mode: NBc is the bucket chroma grid."""
         y = img.comps[0]
-        plane = _y_byte_plane(jnp.asarray(y.coeffs), bw=y.bw, bh=y.bh,
-                              w=self.width, h=self.height)
         w, h = self.width, self.height
+        if self.geom is not None:
+            g = self.geom
+            yp = g.pad_blocks(y.coeffs, y.bw, y.bh, g.bwp, g.bhp)
+            plane = np.asarray(_y_byte_plane_dyn(
+                jnp.asarray(yp), bwp=g.bwp, bhp=g.bhp, wp=g.wp, hp=g.hp))
+        else:
+            plane = np.asarray(_y_byte_plane(
+                jnp.asarray(y.coeffs), bw=y.bw, bh=y.bh, w=w, h=h))
         gx = np.minimum(
             (np.tile(np.arange(cbw), cbh)[:, None] * 16
              + np.arange(16)[None, :]), w - 1)
         gy = np.minimum(
             (np.repeat(np.arange(cbh), cbw)[:, None] * 16
              + np.arange(16)[None, :]), h - 1)
-        return plane[gy[:, :, None], gx[:, None, :]]   # [NBc, 16, 16]
+        out = plane[gy[:, :, None], gx[:, None, :]]    # [NBc, 16, 16]
+        if self.geom is not None:
+            g = self.geom
+            out = g.pad_blocks(out.reshape(cbw * cbh, -1), cbw, cbh,
+                               g.wp // 16, g.hp // 16) \
+                .reshape(-1, 16, 16)
+        return jnp.asarray(out)
 
     def children_state(self, cbw, cbh):
         """Gather the full-res block-grid state into [NBc, 2, 2, ...] for
-        the 2x2 children of each 16x16 macroblock, plus a validity mask."""
+        the 2x2 children of each 16x16 macroblock, plus a validity mask.
+        Padded mode: the macroblock axis is the bucket chroma grid and the
+        child gather strides over the bucket block grid."""
         xyb0_tiles, scales, ysel, xsel = self.block_state(1, 1)
         w, h = self.width, self.height
         bw, bh = (w + 7) // 8, (h + 7) // 8
-        cbx = np.tile(np.arange(cbw), cbh)
-        cby = np.repeat(np.arange(cbh), cbw)
+        if self.geom is not None:
+            gm = self.geom
+            gcbw, gcbh, stride = gm.wp // 16, gm.hp // 16, gm.bwp
+        else:
+            gcbw, gcbh, stride = cbw, cbh, bw
+        cbx = np.tile(np.arange(gcbw), gcbh)
+        cby = np.repeat(np.arange(gcbh), gcbw)
         ix = np.arange(2)
         child_x = cbx[:, None, None] * 2 + ix[None, None, :]   # [NBc,1,2]
         child_y = cby[:, None, None] * 2 + ix[None, :, None]   # [NBc,2,1]
         valid = (child_x < bw) & (child_y < bh)                # [NBc,2,2]
         idx = np.where(valid,
-                       child_y * bw + child_x, 0).reshape(-1)  # clamped
-        nbc = cbw * cbh
+                       child_y * stride + child_x, 0).reshape(-1)
+        nbc = gcbw * gcbh
 
         def g(a):
             return jnp.asarray(np.asarray(a)[idx].reshape(
@@ -291,7 +409,11 @@ class Comparator:
     # -- per-block comparison state -------------------------------------
 
     def start_block_comparisons(self):
-        self._mask_xyz = _whole_image_mask(self.xyb0)
+        if self.geom is not None:
+            self._mask_xyz = _whole_image_mask_dyn(self.xyb0, *self._wh,
+                                                   self._sc)
+        else:
+            self._mask_xyz = _whole_image_mask(self.xyb0)
 
     def finish_block_comparisons(self):
         self._mask_xyz = None
@@ -318,8 +440,24 @@ class Comparator:
             mask = np.asarray(self._mask_xyz)
             scales = mask[:, 8 * by, 8 * bx].T.astype(np.float32)  # [NB, 3]
             ysel, xsel = tile_ops.edge_gather_indices(bw, bh, w, h)
+            if self.geom is not None:
+                # Pad the block axis to the bucket grid so the per-block
+                # compare and zeroing programs are bucket-shaped too.
+                g = self.geom
+                nbp = g.bwp * g.bhp
+
+                def padb(a):
+                    a = np.asarray(a)
+                    flat = a.reshape(a.shape[0], -1)
+                    out = g.pad_blocks(flat, bw, bh, g.bwp, g.bhp)
+                    return out.reshape((nbp,) + a.shape[1:])
+
+                xyb0_tiles = padb(xyb0_tiles)
+                scales = padb(scales)
+                ysel = padb(ysel)
+                xsel = padb(xsel)
             self._block_state[key] = (
-                jax.device_put(xyb0_tiles),
+                jax.device_put(jnp.asarray(xyb0_tiles)),
                 jax.device_put(jnp.asarray(scales)),
                 jax.device_put(jnp.asarray(ysel)),
                 jax.device_put(jnp.asarray(xsel)),
@@ -335,15 +473,35 @@ class Comparator:
 
     # -- block error adjustment weights ---------------------------------
 
+    def _grid_dims(self, factor_x, factor_y):
+        sizex, sizey = 8 * factor_x, 8 * factor_y
+        gbw = (self.width + sizex - 1) // sizex
+        gbh = (self.height + sizey - 1) // sizey
+        return sizex, sizey, gbw, gbh
+
+    def _unpad_w4(self, w4_np, factor_x, factor_y):
+        """[4, GBHp*GBWp] padded weight grid -> [4, gbh*gbw] real grid."""
+        g = self.geom
+        _, _, gbw, gbh = self._grid_dims(factor_x, factor_y)
+        return g.unpad_grid(w4_np, gbw, gbh,
+                            g.wp // (8 * factor_x), g.hp // (8 * factor_y))
+
     def weights_all_radii(self, direction, target_mul, factor_x, factor_y):
         """[4, NB] weights for rblock radii 1..4 from the device-resident
         distmap of the last compare (single small pull)."""
-        sizex, sizey = 8 * factor_x, 8 * factor_y
-        bw = (self.width + sizex - 1) // sizex
-        bh = (self.height + sizey - 1) // sizey
+        sizex, sizey, gbw, gbh = self._grid_dims(factor_x, factor_y)
+        if self.geom is not None:
+            g = self.geom
+            out = _weights_all_radii(
+                self.distmap,
+                jnp.float32(self.target_distance * target_mul),
+                sizex=sizex, sizey=sizey,
+                bw=g.wp // sizex, bh=g.hp // sizey,
+                direction_pos=direction > 0)
+            return self._unpad_w4(np.asarray(out), factor_x, factor_y)
         out = _weights_all_radii(
             self.distmap, jnp.float32(self.target_distance * target_mul),
-            sizex=sizex, sizey=sizey, bw=bw, bh=bh,
+            sizex=sizex, sizey=sizey, bw=gbw, bh=gbh,
             direction_pos=direction > 0)
         return np.asarray(out)
 
@@ -352,10 +510,33 @@ class Comparator:
         """Asynchronously dispatch the fused compare + next-iteration block
         weights; returns a handle for fetch_compare(). Lets the caller
         overlap host-side serialization with the device round trip."""
-        sizex, sizey = 8 * factor_x, 8 * factor_y
-        gbw = (self.width + sizex - 1) // sizex
-        gbh = (self.height + sizey - 1) // sizey
+        sizex, sizey, gbw, gbh = self._grid_dims(factor_x, factor_y)
         tgt = jnp.float32(self.target_distance * target_mul)
+        if self.geom is not None:
+            g = self.geom
+            if img.is_444():
+                cp = g.pad_blocks(img.coeffs, img.bw, img.bh,
+                                  g.bwp, g.bhp)
+                score, dmap, w4 = _compare_weights_444_dyn(
+                    jnp.asarray(cp), self.xyb0, tgt, *self._wh, self._sc,
+                    bwp=g.bwp, bhp=g.bhp, wp=g.wp, hp=g.hp,
+                    sizex=sizex, sizey=sizey,
+                    gbwp=g.wp // sizex, gbhp=g.hp // sizey,
+                    direction_pos=direction > 0)
+            else:
+                y, u, v = img.comps
+                yp = g.pad_blocks(y.coeffs, y.bw, y.bh, g.bwp, g.bhp)
+                cbwp, cbhp = g.wp // 16, g.hp // 16
+                up = g.pad_blocks(u.coeffs, u.bw, u.bh, cbwp, cbhp)
+                vp = g.pad_blocks(v.coeffs, v.bw, v.bh, cbwp, cbhp)
+                score, dmap, w4 = _compare_weights_420_dyn(
+                    jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
+                    self.xyb0, tgt, *self._wh, self._sc,
+                    ybwp=g.bwp, ybhp=g.bhp, cbwp=cbwp, cbhp=cbhp,
+                    wp=g.wp, hp=g.hp, sizex=sizex, sizey=sizey,
+                    gbwp=g.wp // sizex, gbhp=g.hp // sizey,
+                    direction_pos=direction > 0)
+            return (score, dmap, w4, (factor_x, factor_y))
         if img.is_444():
             score, dmap, w4 = _compare_weights_444(
                 jnp.asarray(img.coeffs), self.xyb0, tgt,
@@ -371,15 +552,18 @@ class Comparator:
                 w=self.width, h=self.height,
                 sizex=sizex, sizey=sizey, gbw=gbw, gbh=gbh,
                 direction_pos=direction > 0)
-        return (score, dmap, w4)
+        return (score, dmap, w4, None)
 
     def fetch_compare(self, handle):
         """Complete a dispatch_compare_with_weights round trip."""
-        score, dmap, w4 = handle
+        score, dmap, w4, factors = handle
         score_np, w4_np = jax.device_get((score, w4))
         self.distance = float(score_np)
         self.distmap = dmap
-        return self.distance, np.asarray(w4_np)
+        w4_np = np.asarray(w4_np)
+        if factors is not None:
+            w4_np = self._unpad_w4(w4_np, *factors)
+        return self.distance, w4_np
 
     def compare_img_with_weights(self, img, direction, target_mul,
                                  factor_x, factor_y):

@@ -99,6 +99,29 @@ def chroma_byte_plane(coeffs, bw, bh, w, h):
     return byte_plane(full, w)
 
 
+def chroma_byte_plane_dyn(coeffs, cbwp, cbhp, wp, hp, w, h):
+    """Padded-bucket factor-2 chroma bytes: [NBCp, 64] -> [hp, wp], with
+    the true size (w, h) traced (upsample border clamps are dynamic)."""
+    from guetzli_tpu.ops import upsample as us
+    ws = (w + 1) // 2
+    hs = (h + 1) // 2
+    vals = idct_blocks(coeffs)
+    sub = blocks_to_plane(vals << 4, cbwp, cbhp, wp // 2, hp // 2)
+    full = us.fancy_upsample_dyn(sub, ws, hs)
+    return byte_plane(full, wp)
+
+
+def coeffs420_to_srgb_dyn(y_coeffs, u_coeffs, v_coeffs, ybwp, ybhp,
+                          cbwp, cbhp, wp, hp, w, h):
+    """Padded-bucket YUV420 -> [3, hp, wp] int32 sRGB bytes (garbage
+    outside the valid region)."""
+    ypix = blocks_to_plane(idct_blocks(y_coeffs) << 4, ybwp, ybhp, wp, hp)
+    yb = byte_plane(ypix, wp)
+    ub = chroma_byte_plane_dyn(u_coeffs, cbwp, cbhp, wp, hp, w, h)
+    vb = chroma_byte_plane_dyn(v_coeffs, cbwp, cbhp, wp, hp, w, h)
+    return ycbcr_to_rgb(yb, ub, vb)
+
+
 def coeffs420_to_srgb(y_coeffs, u_coeffs, v_coeffs, ybw, ybh, cbw, cbh,
                       w, h):
     """YUV420 state -> [3, H, W] int32 sRGB bytes (OutputImage::ToSRGB with

@@ -44,6 +44,26 @@ def fancy_upsample(sub, w, h):
     return (9 * s00 + 3 * s01 + 3 * s10 + s11) >> 4
 
 
+def fancy_upsample_dyn(sub, ws, hs):
+    """Padded-bucket fancy upsample: sub [hsp, wsp] with the true
+    subsampled extent (ws, hs) as traced scalars -> [2*hsp, 2*wsp] x16
+    pixels (garbage outside the valid full-res region)."""
+    hsp, wsp = sub.shape
+    x = jnp.arange(2 * wsp)
+    y = jnp.arange(2 * hsp)
+    cx = x >> 1
+    cy = y >> 1
+    dx = (x & 1) * 2 - 1
+    dy = (y & 1) * 2 - 1
+    cx2 = jnp.clip(cx + dx, 0, ws - 1)
+    cy2 = jnp.clip(cy + dy, 0, hs - 1)
+    s00 = sub[cy][:, cx]
+    s01 = sub[cy][:, cx2]
+    s10 = sub[cy2][:, cx]
+    s11 = sub[cy2][:, cx2]
+    return (9 * s00 + 3 * s01 + 3 * s10 + s11) >> 4
+
+
 def neighborhoods_10x10(sub, bw, bh):
     """Per-block 10x10 subsampled neighborhoods [NB, 10, 10] (clamped).
 

@@ -239,10 +239,30 @@ def _corpus_masking(trip, comp_mask, target_muls, stop_early, threads=1):
     per = []
     for proc, jpg, img in trip:
         last_c = comp_mask.bit_length() - 1
+        grid = img.comps[last_c]
         blocks, orig = proc.masking_inputs(jpg, img, comp_mask)
-        mode, aux = proc.masking_aux(img, comp_mask, img.comps[last_c])
+        mode, aux = proc.masking_aux(img, comp_mask, grid)
+        # Padded-bucket mode: masking_aux returns bucket-grid aux arrays,
+        # so the block axis must be padded to the same grid (exactly as
+        # Processor.select_frequency_masking does) before concatenation.
+        geom = getattr(proc.comparator, "geom", None)
+        if geom is not None:
+            nb = grid.bw * grid.bh
+            factor = grid.factor_x
+            gbwp = geom.wp // (8 * factor)
+            gbhp = geom.hp // (8 * factor)
+            blocks = geom.pad_blocks(
+                blocks.reshape(nb, -1), grid.bw, grid.bh, gbwp,
+                gbhp).reshape(-1, 3, 64)
+            orig = geom.pad_blocks(
+                orig.reshape(nb, -1), grid.bw, grid.bh, gbwp,
+                gbhp).reshape(-1, 3, 64)
+            unpad = (geom, grid.bw, grid.bh, gbwp, gbhp, nb)
+        else:
+            unpad = None
         per.append((blocks, orig, mode, aux,
-                    np.float32(proc.comparator.block_error_limit())))
+                    np.float32(proc.comparator.block_error_limit()),
+                    unpad))
     # Images can evaluate under different modes in one pass (e.g. a
     # grayscale image keeps 444 geometry through the 420 pass because its
     # all-zero chroma skips downsampling): bucket by mode and run one
@@ -282,9 +302,15 @@ def _corpus_masking(trip, comp_mask, target_muls, stop_early, threads=1):
 
     def back_end(item):
         (proc, jpg, img), p, mul, off = item
-        nb = len(p[0])
-        oi, oe, nn = (out_idx[off:off + nb], out_err[off:off + nb],
-                      num[off:off + nb])
+        nbp = len(p[0])
+        oi, oe, nn = (out_idx[off:off + nbp], out_err[off:off + nbp],
+                      num[off:off + nbp])
+        nb = nbp
+        if p[5] is not None:
+            geom, bw, bh, gbwp, gbhp, nb = p[5]
+            oi = geom.unpad_blocks(oi, bw, bh, gbwp, gbhp)
+            oe = geom.unpad_blocks(oe, bw, bh, gbwp, gbhp)
+            nn = geom.unpad_blocks(nn, bw, bh, gbwp, gbhp)
         offsets, cand_idx, cand_err = proc.csr_from_zeroing(oi, oe, nn, nb)
         proc.comparator.finish_block_comparisons()
         with proc.stats.timed("select_frequency_masking"):

@@ -415,6 +415,7 @@ class Processor:
         from guetzli_tpu.ops import image as img_ops
         w, h = img.width, img.height
         ws, hs = (w + 1) // 2, (h + 1) // 2
+        geom = getattr(self.comparator, "geom", None)
         subs = []
         for c in (1, 2):
             comp = img.comps[c]
@@ -422,7 +423,14 @@ class Processor:
                 jnp.asarray(comp.coeffs)))
             sub = np.asarray(img_ops.blocks_to_plane(
                 jnp.asarray(vals << 4), comp.bw, comp.bh, ws, hs))
-            subs.append(us.neighborhoods_10x10(sub, comp.bw, comp.bh))
+            neigh = us.neighborhoods_10x10(sub, comp.bw, comp.bh)
+            if geom is not None:
+                # Bucket-shaped zeroing program: pad the macroblock axis.
+                cbwp, cbhp = geom.wp // 16, geom.hp // 16
+                neigh = geom.pad_blocks(
+                    np.asarray(neigh).reshape(comp.bw * comp.bh, -1),
+                    comp.bw, comp.bh, cbwp, cbhp).reshape(-1, 10, 10)
+            subs.append(neigh)
         y16 = self.comparator.frozen_y_16x16(img, grid.bw, grid.bh)
         children = self.comparator.children_state(grid.bw, grid.bh)
         return "420c", (jnp.asarray(np.asarray(subs[0])),
@@ -450,6 +458,20 @@ class Processor:
         # full-batch program.
         use_staged = os.environ.get("GUETZLI_TPU_STAGED_ZEROING",
                                     "1") != "0"
+        # Padded-bucket mode: zeroing runs on the bucket block grid so its
+        # programs are bucket-shaped too (one compile per bucket).
+        geom = getattr(self.comparator, "geom", None)
+        if geom is not None:
+            factor = grid.factor_x
+            gbwp = geom.wp // (8 * factor)
+            gbhp = geom.hp // (8 * factor)
+            blocks = geom.pad_blocks(
+                blocks.reshape(nb, -1), grid.bw, grid.bh, gbwp,
+                gbhp).reshape(-1, 3, 64)
+            orig = geom.pad_blocks(
+                orig.reshape(nb, -1), grid.bw, grid.bh, gbwp,
+                gbhp).reshape(-1, 3, 64)
+
         for attempt in range(3):
             try:
                 mode, aux = build_aux()
@@ -482,6 +504,13 @@ class Processor:
                 import time as _time
                 _time.sleep(20)
                 self.comparator.recover_device_state()
+
+        if geom is not None:
+            out_idx = geom.unpad_blocks(out_idx, grid.bw, grid.bh,
+                                        gbwp, gbhp)
+            out_err = geom.unpad_blocks(out_err, grid.bw, grid.bh,
+                                        gbwp, gbhp)
+            num = geom.unpad_blocks(num, grid.bw, grid.bh, gbwp, gbhp)
 
         offsets, cand_idx, cand_err = self.csr_from_zeroing(
             out_idx, out_err, num, nb)
