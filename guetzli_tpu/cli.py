@@ -25,6 +25,8 @@ Flags:
                  the limit. Default limit is 6000 MB.
   --nomemlimit - Do not limit memory usage.
   --cpu        - Run on the CPU backend (skip accelerator initialization).
+  --mesh N     - Shard this encode over N devices (XLA GSPMD over a 1-D
+                 tile mesh; byte-identical to single-device output).
 """
 
 K_BYTES_PER_PIXEL = 110          # guetzli.cc:42
@@ -70,6 +72,10 @@ def main(argv=None) -> int:
             # (pins the platform before any backend init; no probe cost).
             from guetzli_tpu.runtime import force_cpu
             force_cpu()
+        elif flag == "--mesh":
+            opt_idx += 1
+            import os
+            os.environ["GUETZLI_TPU_MESH"] = argv[opt_idx]
         elif flag == "--profile":
             # gperftools analog (guetzli.cc:32-34): dump an XLA/TPU trace.
             opt_idx += 1

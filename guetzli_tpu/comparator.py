@@ -225,7 +225,8 @@ def _compare_block_batch(cand_coeffs, xyb0_tiles, scale, ysel, xsel):
 class Comparator:
     """Per-image butteraugli comparator with device-resident state."""
 
-    def __init__(self, rgb, width, height, target_distance, padded=None):
+    def __init__(self, rgb, width, height, target_distance, padded=None,
+                 mesh=None):
         import os
         self.width = width
         self.height = height
@@ -235,12 +236,36 @@ class Comparator:
         if padded is None:
             padded = os.environ.get("GUETZLI_TPU_PAD", "1") != "0"
         self.geom = PadGeom(width, height) if padded else None
+        if mesh is None:
+            from guetzli_tpu.parallel.mesh import mesh_from_env
+            mesh = mesh_from_env()
+        self.mesh = mesh
         self._upload_originals()
         self.distance = 0.0
         self.distmap = None
         # Block-comparison state (built lazily by start_block_comparisons).
         self._mask_xyz = None
         self._block_state = {}
+
+    # -- sharded uploads (parallel/mesh.py; no-ops without a mesh) -------
+
+    def _put_plane(self, x):
+        """[..., H, W] image plane: rows sharded over the mesh."""
+        if self.mesh is None:
+            return jax.device_put(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P(*([None] * (np.ndim(x) - 2) + ["tile", None]))
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+    def _put_blocks(self, x, axis=0):
+        """Per-block array: the block axis sharded over the mesh."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = [None] * np.ndim(x)
+        spec[axis] = "tile"
+        return jax.device_put(np.asarray(x),
+                              NamedSharding(self.mesh, P(*spec)))
 
     def _upload_originals(self):
         lut = consts.SRGB_TO_LINEAR.astype(np.float32)
@@ -250,11 +275,12 @@ class Comparator:
             self._sc = {k: (jnp.asarray(sx), jnp.asarray(sy))
                         for k, (sx, sy) in g.scales().items()}
             self._wh = (jnp.int32(g.w), jnp.int32(g.h))
-            self.xyb0 = jax.device_put(_opsin_dyn_jit(
-                jnp.asarray(g.pad_plane(lin0)), *self._wh, self._sc))
+            self.xyb0 = self._put_plane(_opsin_dyn_jit(
+                self._put_plane(jnp.asarray(g.pad_plane(lin0))),
+                *self._wh, self._sc))
         else:
-            self.xyb0 = jax.device_put(
-                opsin_dynamics_image(jnp.asarray(lin0)))
+            self.xyb0 = self._put_plane(
+                opsin_dynamics_image(self._put_plane(jnp.asarray(lin0))))
 
     def recover_device_state(self):
         """Rebuild device-resident state after a TPU worker crash (all
@@ -274,7 +300,7 @@ class Comparator:
             g = self.geom
             cp = g.pad_blocks(np.asarray(coeffs), bw, bh, g.bwp, g.bhp)
             score, dmap, _ = _compare_weights_444_dyn(
-                jnp.asarray(cp), self.xyb0,
+                self._put_blocks(cp, axis=1), self.xyb0,
                 jnp.float32(self.target_distance), *self._wh, self._sc,
                 bwp=g.bwp, bhp=g.bhp, wp=g.wp, hp=g.hp,
                 sizex=8, sizey=8, gbwp=g.bwp, gbhp=g.bhp,
@@ -338,7 +364,7 @@ class Comparator:
             g = self.geom
             out = g.pad_blocks(out.reshape(bw * bh, -1), bw, bh,
                                g.bwp, g.bhp).reshape(-1, 2, 8, 8)
-        return jnp.asarray(out)
+        return self._put_blocks(out)
 
     def frozen_y_16x16(self, img, cbw, cbh):
         """[NBc, 16, 16] frozen Y bytes per 16x16 macroblock for the 420
@@ -365,7 +391,7 @@ class Comparator:
             out = g.pad_blocks(out.reshape(cbw * cbh, -1), cbw, cbh,
                                g.wp // 16, g.hp // 16) \
                 .reshape(-1, 16, 16)
-        return jnp.asarray(out)
+        return self._put_blocks(out)
 
     def children_state(self, cbw, cbh):
         """Gather the full-res block-grid state into [NBc, 2, 2, ...] for
@@ -391,11 +417,11 @@ class Comparator:
         nbc = gcbw * gcbh
 
         def g(a):
-            return jnp.asarray(np.asarray(a)[idx].reshape(
+            return self._put_blocks(np.asarray(a)[idx].reshape(
                 (nbc, 2, 2) + np.asarray(a).shape[1:]))
 
         return (g(xyb0_tiles), g(scales), g(ysel), g(xsel),
-                jnp.asarray(valid))
+                self._put_blocks(valid))
 
     def distance_ok(self, target_mul):
         return self.distance <= target_mul * self.target_distance
@@ -457,10 +483,10 @@ class Comparator:
                 ysel = padb(ysel)
                 xsel = padb(xsel)
             self._block_state[key] = (
-                jax.device_put(jnp.asarray(xyb0_tiles)),
-                jax.device_put(jnp.asarray(scales)),
-                jax.device_put(jnp.asarray(ysel)),
-                jax.device_put(jnp.asarray(xsel)),
+                self._put_blocks(xyb0_tiles),
+                self._put_blocks(scales),
+                self._put_blocks(ysel),
+                self._put_blocks(xsel),
             )
         return self._block_state[key]
 
@@ -518,7 +544,8 @@ class Comparator:
                 cp = g.pad_blocks(img.coeffs, img.bw, img.bh,
                                   g.bwp, g.bhp)
                 score, dmap, w4 = _compare_weights_444_dyn(
-                    jnp.asarray(cp), self.xyb0, tgt, *self._wh, self._sc,
+                    self._put_blocks(cp, axis=1), self.xyb0, tgt,
+                    *self._wh, self._sc,
                     bwp=g.bwp, bhp=g.bhp, wp=g.wp, hp=g.hp,
                     sizex=sizex, sizey=sizey,
                     gbwp=g.wp // sizex, gbhp=g.hp // sizey,
@@ -530,7 +557,8 @@ class Comparator:
                 up = g.pad_blocks(u.coeffs, u.bw, u.bh, cbwp, cbhp)
                 vp = g.pad_blocks(v.coeffs, v.bw, v.bh, cbwp, cbhp)
                 score, dmap, w4 = _compare_weights_420_dyn(
-                    jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
+                    self._put_blocks(yp), self._put_blocks(up),
+                    self._put_blocks(vp),
                     self.xyb0, tgt, *self._wh, self._sc,
                     ybwp=g.bwp, ybhp=g.bhp, cbwp=cbwp, cbhp=cbhp,
                     wp=g.wp, hp=g.hp, sizex=sizex, sizey=sizey,

@@ -472,6 +472,9 @@ class Processor:
                 orig.reshape(nb, -1), grid.bw, grid.bh, gbwp,
                 gbhp).reshape(-1, 3, 64)
 
+        put = getattr(self.comparator, "_put_blocks", None)
+        if put is None or self.comparator.mesh is None:
+            put = jnp.asarray
         for attempt in range(3):
             try:
                 mode, aux = build_aux()
@@ -484,11 +487,11 @@ class Processor:
                             blocks, orig, limit32, aux_dev, mode,
                             comp_mask, lookahead=lookahead,
                             new_model=self.params.new_zeroing_model,
-                            early_exit=early)
+                            early_exit=early, put=put)
                 else:
                     oi, oe, nn = zeroing.compute_zeroing_order_with(
-                        blocks, orig, limit32, aux_dev, mode, comp_mask,
-                        lookahead=lookahead,
+                        put(blocks), put(orig), limit32, aux_dev, mode,
+                        comp_mask, lookahead=lookahead,
                         new_model=self.params.new_zeroing_model,
                         early_exit=early)
                     out_idx, out_err, num = (np.asarray(oi),

@@ -156,7 +156,7 @@ _STAGE_SIZES = (2048, 512)
 
 def compute_zeroing_order_staged(blocks, orig_blocks, limit, aux, mode,
                                  comp_mask, lookahead=3, new_model=True,
-                                 early_exit=False):
+                                 early_exit=False, put=None):
     """Staged-compaction driver for the greedy zeroing loop.
 
     Blocks finish after as many iterations as they have candidates; a
@@ -174,7 +174,13 @@ def compute_zeroing_order_staged(blocks, orig_blocks, limit, aux, mode,
     `limit` may be a scalar (single image) or an [NB] vector (per-block
     error limits -- blocks of several lockstep-batched images concatenated,
     each carrying its own image's limit; see NOTES.md lockstep design).
+
+    `put` (optional) uploads host block arrays to the device; a mesh
+    encode passes a sharded device_put (parallel/mesh.py) so the
+    while_loop programs partition over the block axis.
     """
+    if put is None:
+        put = jnp.asarray
     nb = blocks.shape[0]
     limit = np.asarray(limit, dtype=np.float32)
     per_block_limit = limit.ndim == 1
@@ -186,9 +192,9 @@ def compute_zeroing_order_staged(blocks, orig_blocks, limit, aux, mode,
     inv_perm = np.argsort(perm)
     sorted_counts = n_cand_host[perm]
 
-    blocks_p = jnp.asarray(np.asarray(blocks)[perm])
-    orig_p = jnp.asarray(np.asarray(orig_blocks)[perm])
-    aux_p = tuple(jnp.asarray(np.asarray(a)[perm]) for a in aux)
+    blocks_p = put(np.asarray(blocks)[perm])
+    orig_p = put(np.asarray(orig_blocks)[perm])
+    aux_p = tuple(put(np.asarray(a)[perm]) for a in aux)
     limit_p = jnp.asarray(limit[perm] if per_block_limit else limit)
 
     scores = candidate_scores(blocks_p, orig_p, comp_mask, new_model)
