@@ -131,12 +131,9 @@ def _compare_weights_444(coeffs, xyb0, target, bw, bh, w, h,
     return dm.score_from_diffmap(dmap), dmap, w4
 
 
-@partial(jax.jit, static_argnames=("bwp", "bhp", "wp", "hp", "sizex",
-                                   "sizey", "gbwp", "gbhp",
-                                   "direction_pos"))
-def _compare_weights_444_dyn(coeffs, xyb0, target, w, h, sc,
-                             bwp, bhp, wp, hp, sizex, sizey, gbwp, gbhp,
-                             direction_pos):
+def _cw444_dyn_core(coeffs, xyb0, target, w, h, sc,
+                    bwp, bhp, wp, hp, sizex, sizey, gbwp, gbhp,
+                    direction_pos):
     """Bucket-shaped fused compare+weights: shapes fixed by the padded
     bucket, true (w, h) traced (ops/padgeom.py). One compile per bucket."""
     lin = img_ops.coeffs_to_linear_rgb(coeffs, bwp, bhp, wp, hp)
@@ -147,12 +144,27 @@ def _compare_weights_444_dyn(coeffs, xyb0, target, w, h, sc,
     return dm.score_from_diffmap(dmap), dmap, w4
 
 
-@partial(jax.jit, static_argnames=("ybwp", "ybhp", "cbwp", "cbhp", "wp",
-                                   "hp", "sizex", "sizey", "gbwp", "gbhp",
-                                   "direction_pos"))
-def _compare_weights_420_dyn(y_coeffs, u_coeffs, v_coeffs, xyb0, target,
-                             w, h, sc, ybwp, ybhp, cbwp, cbhp, wp, hp,
-                             sizex, sizey, gbwp, gbhp, direction_pos):
+_DYN_STATICS_444 = ("bwp", "bhp", "wp", "hp", "sizex", "sizey", "gbwp",
+                    "gbhp", "direction_pos")
+_compare_weights_444_dyn = partial(
+    jax.jit, static_argnames=_DYN_STATICS_444)(_cw444_dyn_core)
+
+
+@partial(jax.jit, static_argnames=_DYN_STATICS_444)
+def _batch_compare_weights_444_dyn(coeffs, xyb0, target, w, h, sc,
+                                   bwp, bhp, wp, hp, sizex, sizey,
+                                   gbwp, gbhp, direction_pos):
+    """One program per lockstep round over B same-bucket images: vmap of
+    the fused compare+weights (array args carry a leading batch axis)."""
+    core = partial(_cw444_dyn_core, bwp=bwp, bhp=bhp, wp=wp, hp=hp,
+                   sizex=sizex, sizey=sizey, gbwp=gbwp, gbhp=gbhp,
+                   direction_pos=direction_pos)
+    return jax.vmap(core)(coeffs, xyb0, target, w, h, sc)
+
+
+def _cw420_dyn_core(y_coeffs, u_coeffs, v_coeffs, xyb0, target,
+                    w, h, sc, ybwp, ybhp, cbwp, cbhp, wp, hp,
+                    sizex, sizey, gbwp, gbhp, direction_pos):
     srgb = img_ops.coeffs420_to_srgb_dyn(y_coeffs, u_coeffs, v_coeffs,
                                          ybwp, ybhp, cbwp, cbhp, wp, hp,
                                          w, h)
@@ -161,6 +173,24 @@ def _compare_weights_420_dyn(y_coeffs, u_coeffs, v_coeffs, xyb0, target,
     w4 = _weights_all_radii_impl(
         dmap, target, sizex, sizey, gbwp, gbhp, direction_pos)
     return dm.score_from_diffmap(dmap), dmap, w4
+
+
+_DYN_STATICS_420 = ("ybwp", "ybhp", "cbwp", "cbhp", "wp", "hp", "sizex",
+                    "sizey", "gbwp", "gbhp", "direction_pos")
+_compare_weights_420_dyn = partial(
+    jax.jit, static_argnames=_DYN_STATICS_420)(_cw420_dyn_core)
+
+
+@partial(jax.jit, static_argnames=_DYN_STATICS_420)
+def _batch_compare_weights_420_dyn(y_coeffs, u_coeffs, v_coeffs, xyb0,
+                                   target, w, h, sc, ybwp, ybhp, cbwp,
+                                   cbhp, wp, hp, sizex, sizey, gbwp, gbhp,
+                                   direction_pos):
+    core = partial(_cw420_dyn_core, ybwp=ybwp, ybhp=ybhp, cbwp=cbwp,
+                   cbhp=cbhp, wp=wp, hp=hp, sizex=sizex, sizey=sizey,
+                   gbwp=gbwp, gbhp=gbhp, direction_pos=direction_pos)
+    return jax.vmap(core)(y_coeffs, u_coeffs, v_coeffs, xyb0, target,
+                          w, h, sc)
 
 
 @partial(jax.jit, static_argnames=("cbwp", "cbhp", "wp", "hp"))
@@ -222,6 +252,66 @@ def _compare_block_batch(cand_coeffs, xyb0_tiles, scale, ysel, xsel):
     return tile_ops.compare_blocks(xyb0_tiles, lin, scale)
 
 
+class CompareBatcher:
+    """Coalesces compare dispatches from several Comparators into ONE
+    vmapped device program (and one result pull) per lockstep round.
+
+    The lockstep corpus driver's dispatch-all/fetch-all rounds
+    (parallel/lockstep.py) previously issued B small per-image programs
+    and B pulls; on the tunneled TPU every pull is a ~80 ms round trip.
+    With a shared batcher, dispatch_compare_with_weights enqueues a
+    request and the first fetch flushes the whole round: requests are
+    grouped by their static program key (bucket dims + weight grid +
+    direction), stacked on the batch axis, and evaluated by the vmapped
+    fused compare+weights — one program and one [B]-result pull per
+    group per round. Thread-safe (the lockstep back-end phase runs
+    per-image threads).
+    """
+
+    def __init__(self):
+        import threading
+        self._lock = threading.Lock()
+        self._queue = []
+        self._ready = {}
+        self._next = 0
+
+    def enqueue(self, kind, key, arrays):
+        with self._lock:
+            idx = self._next
+            self._next += 1
+            self._queue.append((idx, kind, key, arrays))
+            return idx
+
+    def _flush_locked(self):
+        from collections import defaultdict
+        groups = defaultdict(list)
+        for idx, kind, key, arrays in self._queue:
+            groups[(kind, key)].append((idx, arrays))
+        self._queue = []
+        launched = []
+        for (kind, key), items in groups.items():
+            idxs = [i for i, _ in items]
+            cols = list(zip(*[a for _, a in items]))
+            stack = [jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *c)
+                     for c in cols]
+            if kind == "444":
+                out = _batch_compare_weights_444_dyn(*stack, **dict(key))
+            else:
+                out = _batch_compare_weights_420_dyn(*stack, **dict(key))
+            launched.append((idxs, out))
+        for idxs, (score, dmap, w4) in launched:
+            score_np, w4_np = jax.device_get((score, w4))  # one pull
+            for j, idx in enumerate(idxs):
+                self._ready[idx] = (float(score_np[j]), dmap[j],
+                                    np.asarray(w4_np[j]))
+
+    def result(self, idx):
+        with self._lock:
+            if idx not in self._ready:
+                self._flush_locked()
+            return self._ready.pop(idx)
+
+
 class Comparator:
     """Per-image butteraugli comparator with device-resident state."""
 
@@ -240,6 +330,7 @@ class Comparator:
             from guetzli_tpu.parallel.mesh import mesh_from_env
             mesh = mesh_from_env()
         self.mesh = mesh
+        self.batcher = None      # set by the lockstep corpus driver
         self._upload_originals()
         self.distance = 0.0
         self.distmap = None
@@ -322,6 +413,11 @@ class Comparator:
         return self.dispatch_compare_with_weights(img, 1, 1.0, 1, 1)
 
     def fetch_compare_plain(self, handle):
+        if isinstance(handle[0], str):
+            score, dmap, _w4 = self.batcher.result(handle[1])
+            self.distance = score
+            self.distmap = dmap
+            return self.distance
         score, dmap, _unused_w4, _factors = handle
         self.distance = float(score)
         self.distmap = dmap
@@ -543,27 +639,42 @@ class Comparator:
             if img.is_444():
                 cp = g.pad_blocks(img.coeffs, img.bw, img.bh,
                                   g.bwp, g.bhp)
-                score, dmap, w4 = _compare_weights_444_dyn(
-                    self._put_blocks(cp, axis=1), self.xyb0, tgt,
-                    *self._wh, self._sc,
+                statics = dict(
                     bwp=g.bwp, bhp=g.bhp, wp=g.wp, hp=g.hp,
                     sizex=sizex, sizey=sizey,
                     gbwp=g.wp // sizex, gbhp=g.hp // sizey,
                     direction_pos=direction > 0)
+                if self.batcher is not None:
+                    idx = self.batcher.enqueue(
+                        "444", tuple(sorted(statics.items())),
+                        (jnp.asarray(cp), self.xyb0, tgt, *self._wh,
+                         self._sc))
+                    return ("batch", idx, (factor_x, factor_y))
+                score, dmap, w4 = _compare_weights_444_dyn(
+                    self._put_blocks(cp, axis=1), self.xyb0, tgt,
+                    *self._wh, self._sc, **statics)
             else:
                 y, u, v = img.comps
                 yp = g.pad_blocks(y.coeffs, y.bw, y.bh, g.bwp, g.bhp)
                 cbwp, cbhp = g.wp // 16, g.hp // 16
                 up = g.pad_blocks(u.coeffs, u.bw, u.bh, cbwp, cbhp)
                 vp = g.pad_blocks(v.coeffs, v.bw, v.bh, cbwp, cbhp)
-                score, dmap, w4 = _compare_weights_420_dyn(
-                    self._put_blocks(yp), self._put_blocks(up),
-                    self._put_blocks(vp),
-                    self.xyb0, tgt, *self._wh, self._sc,
+                statics = dict(
                     ybwp=g.bwp, ybhp=g.bhp, cbwp=cbwp, cbhp=cbhp,
                     wp=g.wp, hp=g.hp, sizex=sizex, sizey=sizey,
                     gbwp=g.wp // sizex, gbhp=g.hp // sizey,
                     direction_pos=direction > 0)
+                if self.batcher is not None:
+                    idx = self.batcher.enqueue(
+                        "420", tuple(sorted(statics.items())),
+                        (jnp.asarray(yp), jnp.asarray(up),
+                         jnp.asarray(vp), self.xyb0, tgt, *self._wh,
+                         self._sc))
+                    return ("batch", idx, (factor_x, factor_y))
+                score, dmap, w4 = _compare_weights_420_dyn(
+                    self._put_blocks(yp), self._put_blocks(up),
+                    self._put_blocks(vp),
+                    self.xyb0, tgt, *self._wh, self._sc, **statics)
             return (score, dmap, w4, (factor_x, factor_y))
         if img.is_444():
             score, dmap, w4 = _compare_weights_444(
@@ -584,6 +695,11 @@ class Comparator:
 
     def fetch_compare(self, handle):
         """Complete a dispatch_compare_with_weights round trip."""
+        if isinstance(handle[0], str):
+            score, dmap, w4_np = self.batcher.result(handle[1])
+            self.distance = score
+            self.distmap = dmap
+            return self.distance, self._unpad_w4(w4_np, *handle[2])
         score, dmap, w4, factors = handle
         score_np, w4_np = jax.device_get((score, w4))
         self.distance = float(score_np)

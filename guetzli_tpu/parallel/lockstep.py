@@ -85,6 +85,23 @@ def lockstep_select_quant_matrix(procs, jpgs, downsamples, best_qs, imgs):
     sms = [_QuantSearch(p, j, d, q, i)
            for p, j, d, q, i in zip(procs, jpgs, downsamples, best_qs,
                                     imgs)]
+    # Same-bucket trials coalesce into one vmapped program + one pull per
+    # round (CompareBatcher); per-image decision sequences are unchanged.
+    from guetzli_tpu.comparator import CompareBatcher
+    batcher = CompareBatcher()
+    shared = []
+    for p in procs:
+        if p.comparator.geom is not None and p.comparator.batcher is None:
+            p.comparator.batcher = batcher
+            shared.append(p.comparator)
+    try:
+        return _lockstep_rounds(sms)
+    finally:
+        for c in shared:
+            c.batcher = None
+
+
+def _lockstep_rounds(sms):
     while True:
         active = [s for s in sms if not s.done]
         if not active:
@@ -181,6 +198,14 @@ def encode_corpus_lockstep(inputs, quality: float = 95,
 
     if not ctxs:
         return [(n, results[n]) for n, _ in inputs if n in results]
+
+    # Corpus-wide batcher: the quant rounds AND the threaded back-end
+    # phase coalesce same-bucket compares into one program per wave.
+    from guetzli_tpu.comparator import CompareBatcher
+    corpus_batcher = CompareBatcher()
+    for c in ctxs:
+        if c["proc"].comparator.geom is not None:
+            c["proc"].comparator.batcher = corpus_batcher
 
     ds_lo_all = min(c["ds_lo"] for c in ctxs)
     ds_hi_all = max(c["ds_hi"] for c in ctxs)

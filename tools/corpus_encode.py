@@ -30,6 +30,12 @@ def main(argv=None) -> int:
     ap.add_argument("--distributed", action="store_true",
                     help="initialize jax.distributed and derive host "
                          "index/count from the process environment")
+    ap.add_argument("--coordinator", default=None,
+                    help="coordinator address for jax.distributed "
+                         "(host:port); with --num-hosts/--host-index it "
+                         "forms an explicit 2+-process CPU/TPU cluster")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the CPU backend (no accelerator probe)")
     ap.add_argument("--threads", type=int, default=1,
                     help="concurrent encodes per host (overlaps device "
                          "round trips across images)")
@@ -41,12 +47,21 @@ def main(argv=None) -> int:
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
+    if args.cpu:
+        from guetzli_tpu import runtime
+        runtime.force_cpu()
     if args.distributed:
         import jax
-        jax.distributed.initialize()
+        if args.coordinator:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_hosts,
+                process_id=args.host_index)
+        else:
+            jax.distributed.initialize()
         args.num_hosts = jax.process_count()
         args.host_index = jax.process_index()
-    else:
+    elif not args.cpu:
         # Long-running batch job: spend a probe up front rather than hang
         # forever on a wedged accelerator tunnel.
         from guetzli_tpu import runtime

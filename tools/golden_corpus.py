@@ -231,6 +231,14 @@ def load_golden():
 
 def cmd_run(args):
     sys.path.insert(0, str(REPO))
+    # The axon plugin's sitecustomize imports jax at interpreter start
+    # with JAX_PLATFORMS=axon, and its client init hangs when the TPU
+    # tunnel is wedged; force_cpu() pins both the env AND the jax config
+    # (the env alone is too late once jax is imported).
+    from guetzli_tpu.runtime import configure, force_cpu
+    if args.cpu:
+        force_cpu()
+    configure()
     from guetzli_tpu.parallel.api import encode_bytes
     rows = load_golden()
     if args.sample:
@@ -260,6 +268,8 @@ def main():
     sub.add_parser("ref")
     runp = sub.add_parser("run")
     runp.add_argument("--band", type=float, default=0.02)
+    runp.add_argument("--cpu", action="store_true",
+                      help="pin the CPU backend (wedged-tunnel escape)")
     runp.add_argument("--sample", type=int, default=0,
                       help="take every Nth row only")
     args = ap.parse_args()
