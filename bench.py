@@ -118,7 +118,87 @@ def main():
         "parity": bool(size_ok),
         "backend": jax.default_backend(),
     }
+    try:
+        result.update(_mfu_estimate(rgb, w, h, params))
+    except Exception as e:                      # never fail the bench on it
+        sys.stderr.write("mfu estimate failed: %s\n" % e)
     print(json.dumps(result))
+
+
+# Rough per-chip peak for %-of-peak reporting. The pipeline is float32
+# elementwise/conv work (VPU + MXU-f32), so bf16 MXU peak is an upper
+# bound — the % is a conservative utilization estimate.
+_PEAK_FLOPS = {"axon": 197e12, "tpu": 197e12}   # TPU v5e bf16
+
+
+def _mfu_estimate(rgb, w, h, params, reps=10):
+    """Achieved FLOP/s of the two hot device programs (XLA cost analysis
+    over measured steady-state wall time): the fused whole-image
+    compare+weights and the per-block zeroing evaluation batch."""
+    import jax
+    import numpy as np
+
+    from guetzli_tpu import comparator as cmp_mod
+    from guetzli_tpu.codec.encoder import encode_rgb_to_jpeg
+    from guetzli_tpu.comparator import Comparator
+    from guetzli_tpu.search import state as st
+
+    comp = Comparator(rgb, w, h, params.butteraugli_target)
+    jpg = encode_rgb_to_jpeg(rgb, w, h)
+    st.remove_original_quantization(jpg)
+    img = st.CoeffImage.from_jpeg(jpg)
+    g = comp.geom
+    out = {}
+
+    def timed(fn):
+        r = fn()
+        jax.block_until_ready(r)
+        t0 = time.time()
+        for _ in range(reps):
+            r = fn()
+        jax.block_until_ready(r)
+        return (time.time() - t0) / reps
+
+    peak = _PEAK_FLOPS.get(jax.default_backend())
+
+    def record(name, flops, secs):
+        out[name + "_gflops_s"] = round(flops / secs / 1e9, 1)
+        out[name + "_ms"] = round(secs * 1e3, 2)
+        if peak:
+            out[name + "_pct_bf16_peak"] = round(
+                100.0 * flops / secs / peak, 2)
+
+    if g is not None:
+        cp = g.pad_blocks(img.coeffs, img.bw, img.bh, g.bwp, g.bhp)
+        args = (jax.numpy.asarray(cp), comp.xyb0,
+                jax.numpy.float32(params.butteraugli_target),
+                *comp._wh, comp._sc)
+        statics = dict(bwp=g.bwp, bhp=g.bhp, wp=g.wp, hp=g.hp,
+                       sizex=8, sizey=8, gbwp=g.bwp, gbhp=g.bhp,
+                       direction_pos=True)
+        fn = cmp_mod._compare_weights_444_dyn
+        flops = fn.lower(*args, **statics).compile() \
+            .cost_analysis()["flops"]
+        record("compare", flops,
+               timed(lambda: fn(*args, **statics)[0]))
+
+        # Zeroing inner op: one lookahead-3 candidate wave over every
+        # block (the body of the zeroing while_loop).
+        comp.compare(np.stack([c.coeffs for c in img.comps], 0),
+                     img.bw, img.bh)
+        comp.start_block_comparisons()
+        xyb0_tiles, scales, ysel, xsel = comp.block_state(1, 1)
+        nb = int(xyb0_tiles.shape[0])
+        cand = jax.numpy.asarray(
+            np.repeat(np.asarray(cp).transpose(1, 0, 2), 3, 0))
+        rep3 = lambda a: jax.numpy.repeat(a, 3, axis=0)   # noqa: E731
+        bargs = (cand, rep3(xyb0_tiles), rep3(scales), rep3(ysel),
+                 rep3(xsel))
+        bfn = cmp_mod._compare_block_batch
+        bflops = bfn.lower(*bargs).compile().cost_analysis()["flops"]
+        record("block_eval", bflops, timed(lambda: bfn(*bargs)))
+        out["block_eval_tiles"] = nb * 3
+    return out
 
 
 if __name__ == "__main__":

@@ -26,11 +26,11 @@ from guetzli_tpu.ops.blur import border_scales
 
 
 def bucket_dim(n: int) -> int:
-    """Round a dimension up to its bucket: multiples of 32 up to 256,
+    """Round a dimension up to its bucket: multiples of 32 up to 512,
     of 64 up to 1024, of 128 beyond — bounded compile count, <=2x (tiny
     images) and typically <=10% padded-pixel overhead."""
     n = max(n, 32)
-    if n <= 256:
+    if n <= 512:
         q = 32
     elif n <= 1024:
         q = 64

@@ -26,7 +26,8 @@ def test_bucket_dim():
     assert bucket_dim(1) == 32
     assert bucket_dim(33) == 64
     assert bucket_dim(256) == 256
-    assert bucket_dim(257) == 320
+    assert bucket_dim(257) == 288
+    assert bucket_dim(513) == 576
     assert bucket_dim(1025) == 1152
     for n in (32, 96, 250, 1000, 4000):
         assert bucket_dim(n) >= n and bucket_dim(n) % 16 == 0
