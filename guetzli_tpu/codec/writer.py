@@ -59,13 +59,20 @@ def _encode_sof(jpg):
     return bytes(out)
 
 
-def _build_and_encode_huffman_codes(jpg):
+def _build_and_encode_huffman_codes(jpg, dc_histos=None, ac_histos=None):
     """DHT + SOS marker bytes plus per-component code tables
-    (jpeg_data_writer.cc:361-453)."""
+    (jpeg_data_writer.cc:361-453).
+
+    dc_histos/ac_histos may be precomputed exact histograms of the current
+    coefficients (e.g. the flip-maintained ones of the back-end loop);
+    passing them skips the full coefficient pass and yields identical bytes.
+    """
     ncomps = len(jpg.components)
-    dc_histos = hg.build_dc_histograms(jpg)
+    if dc_histos is None:
+        dc_histos = hg.build_dc_histograms(jpg)
     _, num_dc, dc_idx, dc_depths, _ = hg.cluster_histograms(dc_histos)
-    ac_histos = hg.build_ac_histograms(jpg)
+    if ac_histos is None:
+        ac_histos = hg.build_ac_histograms(jpg)
     ac_clustered, num_ac, ac_idx, ac_depths, _ = hg.cluster_histograms(
         ac_histos)
     dc_clustered, _, _, _, _ = hg.cluster_histograms(dc_histos)
@@ -298,13 +305,15 @@ def _encode_scan_native(jpg, dc_tables, ac_tables):
     return out[:n].tobytes()
 
 
-def write_jpeg(jpg, strip_metadata=True) -> bytes:
+def write_jpeg(jpg, strip_metadata=True, dc_histograms=None,
+               ac_histograms=None) -> bytes:
     """Serialize JpegData to bytes (jpeg_data_writer.cc:540-553)."""
     out = bytearray(b'\xff\xd8')
     out += _encode_metadata(jpg, strip_metadata)
     out += _encode_dqt(jpg.quant)
     out += _encode_sof(jpg)
-    header, dc_tables, ac_tables = _build_and_encode_huffman_codes(jpg)
+    header, dc_tables, ac_tables = _build_and_encode_huffman_codes(
+        jpg, dc_histograms, ac_histograms)
     out += header
     scan = _encode_scan_native(jpg, dc_tables, ac_tables)
     if scan is None:

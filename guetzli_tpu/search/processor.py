@@ -13,6 +13,7 @@ evaluation inside it is a single jitted device call:
     distmap/weights, incremental histogram entropy estimation on host.
 """
 
+import os
 import sys
 from dataclasses import dataclass, field
 
@@ -203,8 +204,10 @@ class Processor:
 
     # ---------------------------------------------------------------
 
-    def output_jpeg(self, jpg) -> bytes:
-        return jwriter.write_jpeg(jpg, self.params.clear_metadata)
+    def output_jpeg(self, jpg, dc_histograms=None,
+                    ac_histograms=None) -> bytes:
+        return jwriter.write_jpeg(jpg, self.params.clear_metadata,
+                                  dc_histograms, ac_histograms)
 
     def maybe_output(self, encoded: bytes):
         score = self.comparator.score_output_size(len(encoded))
@@ -540,6 +543,15 @@ class Processor:
         jpg_header_size = jwriter.jpeg_header_size(
             jpg_out, self.params.clear_metadata)
         dc_size = hg.estimate_dc_size(jpg_out)
+        # DC coefficients are never zeroing candidates (candidate_scores
+        # k>=1), so the DC histograms are invariant across the flip loop;
+        # the AC histograms are maintained exactly by the flips
+        # (UpdateACHistogram, processor.cc:491-515). Reusing both in the
+        # per-iteration serialization skips the full-coefficient histogram
+        # pass in write_jpeg while producing identical bytes. Guarded on
+        # the grayscale-collapse state staying what it was at baseline.
+        ncomp_out0 = len(jpg_out.components)
+        dc_histograms0 = hg.build_dc_histograms(jpg_out)
         ac_histograms = hg.build_ac_histograms(jpg_out)
         while len(ac_histograms) < ncomp:
             ac_histograms.append(hg.new_histogram())
@@ -664,7 +676,14 @@ class Processor:
                 pending = self.comparator.dispatch_compare_with_weights(
                     img, direction, target_mul, factor, factor)
                 jpg_out = img.save_to_jpeg_data(jpg)
-                encoded = self.output_jpeg(jpg_out)
+                if (len(jpg_out.components) == ncomp_out0
+                        and os.environ.get(
+                            "GUETZLI_TPU_NO_HISTO_REUSE") != "1"):
+                    encoded = self.output_jpeg(
+                        jpg_out, dc_histograms0,
+                        ac_histograms[:ncomp_out0])
+                else:
+                    encoded = self.output_jpeg(jpg_out)
                 self.stats.log(
                     "Iter %2d: (%d) %s Coeffs[%d/%d] Blocks[%d/%d/%d] "
                     "ValThres[%.4f] Out[%7d] EstErr[%.2f%%]",

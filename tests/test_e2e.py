@@ -197,3 +197,15 @@ def test_stress_extremes(kind, ref_bytes):
     out = process_rgb(params, rgb, w, h, ProcessStats())
     assert abs(len(out) - ref_bytes) <= max(10, 0.025 * ref_bytes), \
         (kind, len(out))
+
+
+def test_histogram_reuse_byte_parity(rgb96x64, monkeypatch):
+    """The flip-maintained-histogram fast path in the back-end loop's
+    per-iteration serialization must be byte-identical to the full
+    rebuild (write_jpeg with dc/ac_histograms=None)."""
+    params = Params()
+    params.butteraugli_target = consts.butteraugli_score_for_quality(95)
+    fast = process_rgb(params, rgb96x64, 96, 64, ProcessStats())
+    monkeypatch.setenv("GUETZLI_TPU_NO_HISTO_REUSE", "1")
+    slow = process_rgb(params, rgb96x64, 96, 64, ProcessStats())
+    assert fast == slow
