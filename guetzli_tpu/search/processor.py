@@ -553,6 +553,16 @@ class Processor:
         ncomp_out0 = len(jpg_out.components)
         dc_histograms0 = hg.build_dc_histograms(jpg_out)
         ac_histograms = hg.build_ac_histograms(jpg_out)
+        # Incremental serialization is valid while the grayscale-collapse
+        # state cannot change. Collapse (3 -> 1 comps) needs BOTH chroma
+        # channels all-zero; DC never flips, so a nonzero chroma DC pins
+        # the state. Uncollapse (1 -> 3) would need a chroma restore, but
+        # all-zero chroma at masking time yields no chroma candidates.
+        can_collapse = (
+            ncomp_out0 == 3
+            and not img.comps[1].coeffs[:, 0].any()
+            and not img.comps[2].coeffs[:, 0].any())
+        flip_channels = [c for c in range(3) if (comp_mask >> c) & 1]
         while len(ac_histograms) < ncomp:
             ac_histograms.append(hg.new_histogram())
         ac_depths, ac_histogram_size = hg.compute_entropy_codes(ac_histograms)
@@ -645,6 +655,7 @@ class Processor:
                     min_coeffs_to_change = max(min_coeffs_to_change, cnt)
                     first_up_iter = False
 
+                li_before = last_indexes.copy()
                 flips = self._run_flips_native(
                     img, jpg, bw, offsets, cand_idx, cand_err,
                     last_indexes, order_blocks, order_vals, direction,
@@ -675,7 +686,13 @@ class Processor:
                 # Overlap the device round trip with host serialization.
                 pending = self.comparator.dispatch_compare_with_weights(
                     img, direction, target_mul, factor, factor)
-                jpg_out = img.save_to_jpeg_data(jpg)
+                if (not can_collapse and os.environ.get(
+                        "GUETZLI_TPU_NO_INCR_SAVE") != "1"):
+                    img.update_jpeg_data(
+                        jpg_out, np.nonzero(last_indexes != li_before)[0],
+                        flip_channels, bw)
+                else:
+                    jpg_out = img.save_to_jpeg_data(jpg)
                 if (len(jpg_out.components) == ncomp_out0
                         and os.environ.get(
                             "GUETZLI_TPU_NO_HISTO_REUSE") != "1"):

@@ -234,6 +234,37 @@ class CoeffImage:
         jd.save_quant_tables(self.quant[:ncomp], jpg)
         return jpg
 
+    def update_jpeg_data(self, jpg_out: jd.JpegData, changed, channels,
+                         bw: int) -> None:
+        """Incremental SaveToJpegData: requantize only the blocks the
+        back-end flips changed, in place on a previously saved jpg_out.
+
+        Valid only while the grayscale-collapse state cannot change (DC
+        coefficients are never flip candidates, so the MCU padding blocks
+        -- whose AC is zero and whose DC propagates from real blocks --
+        stay correct without touching them).
+
+        Args:
+          jpg_out: a JpegData previously produced by save_to_jpeg_data
+            for this image (mutated in place).
+          changed: int array of changed block indexes on the (bw, bh)
+            pass grid (the same grid the flip loop indexes).
+          channels: iterable of channel indexes the pass may flip.
+          bw: the pass grid's blocks-per-row.
+        """
+        if len(changed) == 0:
+            return
+        rows = changed // bw
+        cols = changed % bw
+        for ci in channels:
+            if ci >= len(jpg_out.components):
+                continue
+            c = self.comps[ci]
+            jcomp = jpg_out.components[ci]
+            jix = rows * jcomp.width_in_blocks + cols
+            jcomp.coeffs[jix] = (
+                c.coeffs[changed] // c.quant[None, :]).astype(np.int16)
+
 
 def remove_original_quantization(jpg: jd.JpegData):
     """processor.cc:94-107: fold quant into coefficients, reset to ones.

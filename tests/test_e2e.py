@@ -200,12 +200,32 @@ def test_stress_extremes(kind, ref_bytes):
 
 
 def test_histogram_reuse_byte_parity(rgb96x64, monkeypatch):
-    """The flip-maintained-histogram fast path in the back-end loop's
-    per-iteration serialization must be byte-identical to the full
-    rebuild (write_jpeg with dc/ac_histograms=None)."""
+    """The back-end loop's per-iteration serialization fast paths
+    (flip-maintained histograms + incremental save_to_jpeg_data) must be
+    byte-identical to the full rebuild."""
     params = Params()
     params.butteraugli_target = consts.butteraugli_score_for_quality(95)
     fast = process_rgb(params, rgb96x64, 96, 64, ProcessStats())
     monkeypatch.setenv("GUETZLI_TPU_NO_HISTO_REUSE", "1")
+    monkeypatch.setenv("GUETZLI_TPU_NO_INCR_SAVE", "1")
     slow = process_rgb(params, rgb96x64, 96, 64, ProcessStats())
+    assert fast == slow
+
+
+def test_incremental_save_byte_parity_420(monkeypatch):
+    """Incremental save through the 420 passes (Y grid + chroma grid with
+    MCU padding at odd geometry) must match the full save."""
+    from guetzli_tpu.io.png import read_png
+    data = (FIXTURES / "bees97x63.png").read_bytes()
+    rgb, w, h = read_png(data)
+
+    def enc():
+        params = Params(force_420=True)
+        params.butteraugli_target = \
+            consts.butteraugli_score_for_quality(95)
+        return process_rgb(params, rgb, w, h, ProcessStats())
+
+    fast = enc()
+    monkeypatch.setenv("GUETZLI_TPU_NO_INCR_SAVE", "1")
+    slow = enc()
     assert fast == slow
