@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""One-shot TPU evidence capture: run everything that needs the real chip.
+
+The tunneled TPU can wedge for hours; when it comes back this captures all
+TPU-blocked measurements in one go, most valuable first, each phase
+independently fault-isolated:
+
+  1. bench.py (headline MPix/s + MFU fields)  -> stdout JSON + tpu_bench.json
+  2. 1 MPix phase split (quant/zeroing/backend + per-phase wall)
+  3. Pallas tile-compare Mosaic AOT compile retry (GUETZLI_TPU_PALLAS_DOT=1)
+  4. Lockstep corpus throughput (img/min, vs serial)
+
+Usage: python tools/tpu_capture.py [--skip-corpus] [--out PREFIX]
+Writes PREFIX_{bench,phases,pallas,corpus}.json (default /tmp/tpu_capture).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cmd, timeout, env=None):
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    try:
+        r = subprocess.run(cmd, cwd=REPO, timeout=timeout,
+                           capture_output=True, text=True, env=e)
+        return r.returncode, r.stdout, r.stderr
+    except subprocess.TimeoutExpired as ex:
+        return -1, ex.stdout or "", "TIMEOUT %ss" % timeout
+
+
+def probe():
+    rc, out, _ = run([sys.executable, "-c",
+                      "import jax; d=jax.devices()[0]; print(d.platform); "
+                      "import jax.numpy as jnp; "
+                      "assert float(jnp.ones((8,8)).sum())==64."], 120)
+    plat = out.strip()
+    return rc == 0 and plat not in ("", "cpu"), plat
+
+
+def main():
+    skip_corpus = "--skip-corpus" in sys.argv
+    prefix = "/tmp/tpu_capture"
+    if "--out" in sys.argv:
+        prefix = sys.argv[sys.argv.index("--out") + 1]
+
+    ok, plat = probe()
+    print(json.dumps({"probe_ok": ok, "platform": plat}))
+    if not ok:
+        return 1
+
+    results = {}
+
+    # 1. Headline bench.
+    t0 = time.time()
+    rc, out, err = run([sys.executable, "bench.py"], 3600)
+    line = [ln for ln in out.splitlines() if ln.startswith("{")]
+    results["bench"] = {"rc": rc, "wall": round(time.time() - t0, 1),
+                        "json": json.loads(line[-1]) if line else None,
+                        "stderr_tail": err[-500:]}
+    with open(prefix + "_bench.json", "w") as f:
+        json.dump(results["bench"], f)
+    print(json.dumps(results["bench"]))
+
+    # 2. 1 MPix phase split.
+    code = (
+        "import time, json; "
+        "from guetzli_tpu import consts; "
+        "from guetzli_tpu.io.png import read_png; "
+        "from guetzli_tpu.search.processor import Params, ProcessStats, "
+        "process_rgb; "
+        "import numpy as np; from PIL import Image; "
+        "im = Image.open('/root/reference/tests/bees.png').convert('RGB'); "
+        "im = im.resize((1332, 774)); rgb = np.asarray(im, np.uint8); "
+        "p = Params(); "
+        "p.butteraugli_target = consts.butteraugli_score_for_quality(95); "
+        "process_rgb(p, rgb, 1332, 774, ProcessStats()); "
+        "s = ProcessStats(); t0 = time.time(); "
+        "out = process_rgb(p, rgb, 1332, 774, s); "
+        "print(json.dumps({'wall_s': round(time.time()-t0,2), "
+        "'bytes': len(out), 'timings': {k: round(v,2) for k,v in "
+        "s.timings.items()}, 'counters': s.counters}))")
+    t0 = time.time()
+    rc, out, err = run([sys.executable, "-c", code], 7200)
+    line = [ln for ln in out.splitlines() if ln.startswith("{")]
+    results["phases_1mpix"] = {
+        "rc": rc, "wall": round(time.time() - t0, 1),
+        "json": json.loads(line[-1]) if line else None,
+        "stderr_tail": err[-500:]}
+    with open(prefix + "_phases.json", "w") as f:
+        json.dump(results["phases_1mpix"], f)
+    print(json.dumps(results["phases_1mpix"]))
+
+    # 3. Pallas Mosaic AOT retry (dot_general lowering) via the checkcl
+    # harness -- its tile_compare(pallas) row either verifies vs the XLA
+    # path or reports SKIPPED with the Mosaic error.
+    rc, out, err = run(
+        [sys.executable, "-m", "guetzli_tpu.cli", "--checkcl",
+         "--quality", "95", "tests/fixtures/bees96x64.png",
+         "/tmp/tpu_checkcl.jpg"], 3600,
+        env={"GUETZLI_TPU_PALLAS_DOT": "1", "GUETZLI_TPU_PALLAS": "1"})
+    tile_rows = [ln for ln in (out + err).splitlines()
+                 if "tile_compare" in ln]
+    results["pallas"] = {"rc": rc, "tile_rows": tile_rows,
+                         "stderr_tail": err[-800:]}
+    with open(prefix + "_pallas.json", "w") as f:
+        json.dump(results["pallas"], f)
+    print(json.dumps(results["pallas"]))
+
+    # 4. Lockstep corpus throughput.
+    if not skip_corpus:
+        t0 = time.time()
+        import glob as _glob
+        inputs = sorted(_glob.glob(
+            os.path.join(REPO, "tests/fixtures/bees_*.png")))
+        rc, out, err = run(
+            [sys.executable, "tools/corpus_encode.py", "--lockstep",
+             "--out", "/tmp/tpu_corpus"] + inputs, 3600)
+        results["corpus"] = {"rc": rc, "wall": round(time.time() - t0, 1),
+                             "out_tail": out[-800:],
+                             "stderr_tail": err[-500:]}
+        with open(prefix + "_corpus.json", "w") as f:
+            json.dump(results["corpus"], f)
+        print(json.dumps(results["corpus"]))
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
