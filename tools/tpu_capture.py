@@ -32,14 +32,17 @@ def run(cmd, timeout, env=None):
                            capture_output=True, text=True, env=e)
         return r.returncode, r.stdout, r.stderr
     except subprocess.TimeoutExpired as ex:
-        return -1, ex.stdout or "", "TIMEOUT %ss" % timeout
+        out = ex.stdout or ""
+        if isinstance(out, bytes):
+            out = out.decode("utf-8", "replace")
+        return -1, out, "TIMEOUT %ss" % timeout
 
 
 def probe():
     rc, out, _ = run([sys.executable, "-c",
                       "import jax; d=jax.devices()[0]; print(d.platform); "
                       "import jax.numpy as jnp; "
-                      "assert float(jnp.ones((8,8)).sum())==64."], 120)
+                      "assert float(jnp.ones((8,8)).sum())==64."], 300)
     plat = out.strip()
     return rc == 0 and plat not in ("", "cpu"), plat
 
