@@ -193,6 +193,69 @@ def _batch_compare_weights_420_dyn(y_coeffs, u_coeffs, v_coeffs, xyb0,
                           w, h, sc)
 
 
+def _device_quantize(c, q):
+    """Round coefficients to multiples of q (guetzli/quantize.h), exact
+    int32 twin of search/state.quantize (C truncation semantics)."""
+    r = jnp.sign(c) * (jnp.abs(c) % q)
+    delta = jnp.where(2 * r > q, q - r,
+                      jnp.where(-2 * r > q, -q - r, -r))
+    return c + delta
+
+
+@partial(jax.jit, static_argnames=_DYN_STATICS_444)
+def _quant_batch_444_dyn(base, qs, xyb0, target, w, h, sc,
+                         bwp, bhp, wp, hp, sizex, sizey, gbwp, gbhp,
+                         direction_pos):
+    """Evaluate B requantizations of the device-resident base coefficients
+    in one program: qs [B, 3, 64] -> (scores [B], dmaps [B, hp, wp]).
+
+    TryQuantMatrix's compare (processor.cc:310-338) with the requantize
+    (output_image.cc:349-360) moved on-device: each trial uploads 768
+    bytes of quant matrix instead of the full coefficient planes."""
+    def one(q):
+        coeffs = _device_quantize(base, q[:, None, :])
+        s, d, _w4 = _cw444_dyn_core(
+            coeffs, xyb0, target, w, h, sc, bwp=bwp, bhp=bhp, wp=wp,
+            hp=hp, sizex=sizex, sizey=sizey, gbwp=gbwp, gbhp=gbhp,
+            direction_pos=direction_pos)
+        return s, d
+    return jax.vmap(one)(qs)
+
+
+@partial(jax.jit, static_argnames=_DYN_STATICS_420)
+def _quant_batch_420_dyn(ybase, ubase, vbase, qs, xyb0, target, w, h, sc,
+                         ybwp, ybhp, cbwp, cbhp, wp, hp, sizex, sizey,
+                         gbwp, gbhp, direction_pos):
+    def one(q):
+        s, d, _w4 = _cw420_dyn_core(
+            _device_quantize(ybase, q[0][None, :]),
+            _device_quantize(ubase, q[1][None, :]),
+            _device_quantize(vbase, q[2][None, :]),
+            xyb0, target, w, h, sc, ybwp=ybwp, ybhp=ybhp, cbwp=cbwp,
+            cbhp=cbhp, wp=wp, hp=hp, sizex=sizex, sizey=sizey, gbwp=gbwp,
+            gbhp=gbhp, direction_pos=direction_pos)
+        return s, d
+    return jax.vmap(one)(qs)
+
+
+@partial(jax.jit, static_argnames=_DYN_STATICS_444, donate_argnums=(0,))
+def _scatter_compare_444_dyn(coeffs, bidx, bvals, xyb0, target, w, h, sc,
+                             bwp, bhp, wp, hp, sizex, sizey, gbwp, gbhp,
+                             direction_pos):
+    """Apply the back-end flip loop's per-block coefficient updates to the
+    device-resident state and run the fused compare+weights, in one
+    program. bidx [M] padded-grid block indexes (out-of-range rows are
+    dropped -- the fixed-size M buckets pad with bidx = NBp); bvals
+    [M, 3, 64] the updated blocks. `coeffs` is donated: the returned
+    array IS the new device state."""
+    new = coeffs.at[:, bidx, :].set(bvals.transpose(1, 0, 2), mode="drop")
+    s, d, w4 = _cw444_dyn_core(
+        new, xyb0, target, w, h, sc, bwp=bwp, bhp=bhp, wp=wp, hp=hp,
+        sizex=sizex, sizey=sizey, gbwp=gbwp, gbhp=gbhp,
+        direction_pos=direction_pos)
+    return new, s, d, w4
+
+
 @partial(jax.jit, static_argnames=("cbwp", "cbhp", "wp", "hp"))
 def _chroma_byte_planes_dyn(u_coeffs, v_coeffs, w, h, cbwp, cbhp, wp, hp):
     return jnp.stack([
@@ -426,6 +489,122 @@ class Comparator:
     def compare_img(self, img):
         """Compare a CoeffImage (444 or 420 chroma sampling)."""
         return self.fetch_compare_plain(self.dispatch_compare(img))
+
+    # -- batched quant-matrix trials (search/quant_tree.py) --------------
+
+    def supports_quant_batch(self):
+        return self.geom is not None and self.batcher is None
+
+    def quant_base_upload(self, img):
+        """Device-upload the quant-search base (the dequantized input
+        coefficients every trial requantizes from); returns an opaque
+        base handle for dispatch_quant_batch."""
+        g = self.geom
+        if img.is_444():
+            cp = g.pad_blocks(img.coeffs, img.bw, img.bh, g.bwp, g.bhp)
+            return ("444", self._put_blocks(cp, axis=1))
+        y, u, v = img.comps
+        cbwp, cbhp = g.wp // 16, g.hp // 16
+        return ("420",
+                self._put_blocks(g.pad_blocks(y.coeffs, y.bw, y.bh,
+                                              g.bwp, g.bhp)),
+                self._put_blocks(g.pad_blocks(u.coeffs, u.bw, u.bh,
+                                              cbwp, cbhp)),
+                self._put_blocks(g.pad_blocks(v.coeffs, v.bw, v.bh,
+                                              cbwp, cbhp)))
+
+    # Fixed trial-batch sizes: one compiled program per (bucket, B).
+    _QUANT_BATCH_SIZES = (4, 8)
+
+    def dispatch_quant_batch(self, base, qs):
+        """Evaluate len(qs) quant-matrix trials in one device program.
+        Returns a handle; fetch_quant_scores completes it."""
+        g = self.geom
+        b = len(qs)
+        bp = next((s for s in self._QUANT_BATCH_SIZES if s >= b),
+                  self._QUANT_BATCH_SIZES[-1])
+        qs_np = np.stack([np.asarray(q, np.int32) for q in qs])
+        if bp > b:
+            qs_np = np.concatenate(
+                [qs_np, np.repeat(qs_np[-1:], bp - b, axis=0)])
+        qs_dev = jnp.asarray(qs_np[:bp])
+        tgt = jnp.float32(self.target_distance)
+        if base[0] == "444":
+            scores, dmaps = _quant_batch_444_dyn(
+                base[1], qs_dev, self.xyb0, tgt, *self._wh, self._sc,
+                bwp=g.bwp, bhp=g.bhp, wp=g.wp, hp=g.hp, sizex=8, sizey=8,
+                gbwp=g.bwp, gbhp=g.bhp, direction_pos=True)
+        else:
+            scores, dmaps = _quant_batch_420_dyn(
+                base[1], base[2], base[3], qs_dev, self.xyb0, tgt,
+                *self._wh, self._sc, ybwp=g.bwp, ybhp=g.bhp,
+                cbwp=g.wp // 16, cbhp=g.hp // 16, wp=g.wp, hp=g.hp,
+                sizex=8, sizey=8, gbwp=g.bwp, gbhp=g.bhp,
+                direction_pos=True)
+        return (scores, dmaps, b)
+
+    def fetch_quant_scores(self, handle):
+        """[B] float scores (one pull); diffmaps stay device-resident."""
+        scores, _dmaps, b = handle
+        return np.asarray(jax.device_get(scores))[:b].astype(np.float64)
+
+    def set_quant_result(self, handle, row, score):
+        """Adopt trial `row` of a fetched batch as the comparator's
+        current compare state (distance + device-resident distmap)."""
+        _scores, dmaps, _b = handle
+        self.distance = float(score)
+        self.distmap = dmaps[row]
+
+    # -- device-resident back-end coefficient state ----------------------
+
+    # Fixed changed-block counts: one scatter+compare program per
+    # (bucket, M); oversize updates fall back to a full re-upload.
+    _SPARSE_SIZES = (512, 4096, 32768)
+
+    def backend_sync_full(self, img):
+        """Upload the full padded coefficient state for the back-end flip
+        loop; dispatch_compare_sparse applies per-iteration deltas to it.
+        444-only (the chroma passes use the plain upload path)."""
+        g = self.geom
+        self._dev_coeffs = jnp.asarray(
+            g.pad_blocks(img.coeffs, img.bw, img.bh, g.bwp, g.bhp))
+        self._dev_grid = (img.bw, img.bh)
+
+    def supports_sparse(self, img, comp_mask):
+        return (self.geom is not None and self.mesh is None
+                and self.batcher is None and comp_mask == 7
+                and img.is_444())
+
+    def dispatch_compare_sparse(self, img, changed, direction, target_mul,
+                                factor_x, factor_y):
+        """dispatch_compare_with_weights, but uploading only the blocks
+        the flip loop changed (scatter fused into the compare program).
+        `changed`: int array of changed block indexes on the real grid."""
+        g = self.geom
+        bw, bh = self._dev_grid
+        m = len(changed)
+        if m > self._SPARSE_SIZES[-1] or m > g.bwp * g.bhp:
+            self.backend_sync_full(img)
+            changed = np.empty(0, dtype=np.int64)
+            m = 0
+        mp = next(s for s in self._SPARSE_SIZES if s >= max(m, 1))
+        bidx = np.full(mp, g.bwp * g.bhp, dtype=np.int32)  # OOB = dropped
+        bvals = np.zeros((mp, 3, 64), dtype=np.int32)
+        if m:
+            bidx[:m] = ((changed // bw) * g.bwp + changed % bw)
+            bvals[:m] = np.stack(
+                [c.coeffs[changed] for c in img.comps], axis=1)
+        sizex, sizey = 8 * factor_x, 8 * factor_y
+        statics = dict(bwp=g.bwp, bhp=g.bhp, wp=g.wp, hp=g.hp,
+                       sizex=sizex, sizey=sizey,
+                       gbwp=g.wp // sizex, gbhp=g.hp // sizey,
+                       direction_pos=direction > 0)
+        new, score, dmap, w4 = _scatter_compare_444_dyn(
+            self._dev_coeffs, jnp.asarray(bidx), jnp.asarray(bvals),
+            self.xyb0, jnp.float32(self.target_distance * target_mul),
+            *self._wh, self._sc, **statics)
+        self._dev_coeffs = new
+        return (score, dmap, w4, (factor_x, factor_y))
 
     # -- 420 per-block evaluation state ---------------------------------
 

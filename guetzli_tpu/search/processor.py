@@ -287,6 +287,14 @@ class Processor:
         import os
 
         import jax
+        if (os.environ.get("GUETZLI_TPU_TREE_QUANT", "1") != "0"
+                and self.comparator.supports_quant_batch()):
+            # One-fetch wave evaluation of the whole binary-search tree
+            # (search/quant_tree.py); identical trial sequence + output.
+            from guetzli_tpu.search.quant_tree import \
+                select_quant_matrix_tree
+            return select_quant_matrix_tree(self, jpg_in, downsample,
+                                            best_q, img)
         qgen = QuantMatrixGenerator(downsample)
         target_mul_high = 0.97
         target_mul_low = 0.95
@@ -480,26 +488,29 @@ class Processor:
             put = jnp.asarray
         for attempt in range(3):
             try:
-                mode, aux = build_aux()
+                with self.stats.timed("zeroing_aux"):
+                    mode, aux = build_aux()
                 limit32 = np.float32(self.comparator.block_error_limit())
                 aux_dev = tuple(jnp.asarray(a) for a in aux)
                 early = self.params.zeroing_early_exit
                 if use_staged:
-                    out_idx, out_err, num = \
-                        zeroing.compute_zeroing_order_staged(
-                            blocks, orig, limit32, aux_dev, mode,
-                            comp_mask, lookahead=lookahead,
-                            new_model=self.params.new_zeroing_model,
-                            early_exit=early, put=put)
+                    with self.stats.timed("zeroing_loop"):
+                        out_idx, out_err, num = \
+                            zeroing.compute_zeroing_order_staged(
+                                blocks, orig, limit32, aux_dev, mode,
+                                comp_mask, lookahead=lookahead,
+                                new_model=self.params.new_zeroing_model,
+                                early_exit=early, put=put)
                 else:
-                    oi, oe, nn = zeroing.compute_zeroing_order_with(
-                        put(blocks), put(orig), limit32, aux_dev, mode,
-                        comp_mask, lookahead=lookahead,
-                        new_model=self.params.new_zeroing_model,
-                        early_exit=early)
-                    out_idx, out_err, num = (np.asarray(oi),
-                                             np.asarray(oe),
-                                             np.asarray(nn))
+                    with self.stats.timed("zeroing_loop"):
+                        oi, oe, nn = zeroing.compute_zeroing_order_with(
+                            put(blocks), put(orig), limit32, aux_dev,
+                            mode, comp_mask, lookahead=lookahead,
+                            new_model=self.params.new_zeroing_model,
+                            early_exit=early)
+                        out_idx, out_err, num = (np.asarray(oi),
+                                                 np.asarray(oe),
+                                                 np.asarray(nn))
                 break
             except Exception as e:
                 if "UNAVAILABLE" not in str(e) or attempt == 2:
@@ -522,9 +533,10 @@ class Processor:
             out_idx, out_err, num, nb)
         self.comparator.finish_block_comparisons()
 
-        self.select_frequency_back_end(
-            jpg, img, comp_mask, target_mul, stop_early,
-            offsets, cand_idx, cand_err)
+        with self.stats.timed("back_end"):
+            self.select_frequency_back_end(
+                jpg, img, comp_mask, target_mul, stop_early,
+                offsets, cand_idx, cand_err)
 
     # -- back-end up/down loop (processor.cc:723-919) -----------------
 
@@ -575,6 +587,15 @@ class Processor:
         first_up_iter = True
         cached_weights = None
         limit = self.comparator.block_error_limit()
+
+        # Device-resident coefficient state: one full upload here, then
+        # each iteration ships only the blocks its flips changed (the
+        # scatter is fused into the compare program). ~KBs per round trip
+        # instead of the full padded planes.
+        use_sparse = (os.environ.get("GUETZLI_TPU_SPARSE", "1") != "0"
+                      and self.comparator.supports_sparse(img, comp_mask))
+        if use_sparse:
+            self.comparator.backend_sync_full(img)
 
         for direction in (1, -1):
             while True:
@@ -683,14 +704,23 @@ class Processor:
                 self.stats.inc("iters")
                 self.stats.inc("iters_up" if direction > 0
                                else "iters_down")
+                changed = np.nonzero(last_indexes != li_before)[0]
                 # Overlap the device round trip with host serialization.
-                pending = self.comparator.dispatch_compare_with_weights(
-                    img, direction, target_mul, factor, factor)
+                if use_sparse:
+                    dispatch = lambda: self.comparator \
+                        .dispatch_compare_sparse(
+                            img, changed, direction, target_mul,
+                            factor, factor)  # noqa: E731
+                else:
+                    dispatch = lambda: self.comparator \
+                        .dispatch_compare_with_weights(
+                            img, direction, target_mul, factor,
+                            factor)  # noqa: E731
+                pending = dispatch()
                 if (not can_collapse and os.environ.get(
                         "GUETZLI_TPU_NO_INCR_SAVE") != "1"):
-                    img.update_jpeg_data(
-                        jpg_out, np.nonzero(last_indexes != li_before)[0],
-                        flip_channels, bw)
+                    img.update_jpeg_data(jpg_out, changed,
+                                         flip_channels, bw)
                 else:
                     jpg_out = img.save_to_jpeg_data(jpg)
                 if (len(jpg_out.components) == ncomp_out0
@@ -709,10 +739,20 @@ class Processor:
                     len(order_blocks), n_changed_blocks,
                     blocks_to_change, nb, val_threshold, len(encoded),
                     100.0 - (100.0 * est_jpg_size) / len(encoded))
+                def recover_dispatch():
+                    if use_sparse:
+                        # Device buffers died with the worker; host img is
+                        # authoritative -- re-upload, then a no-op delta.
+                        self.comparator.backend_sync_full(img)
+                        return self.comparator.dispatch_compare_sparse(
+                            img, np.empty(0, np.int64), direction,
+                            target_mul, factor, factor)
+                    return self.comparator.dispatch_compare_with_weights(
+                        img, direction, target_mul, factor, factor)
+
                 d, w4 = self._recoverable(
-                    lambda: self.comparator.dispatch_compare_with_weights(
-                        img, direction, target_mul, factor, factor),
-                    self.comparator.fetch_compare, pending)
+                    recover_dispatch, self.comparator.fetch_compare,
+                    pending)
                 cached_weights = (direction, w4)
                 self.stats.log(" BA[100.00%%] D[%6.4f]", d)
                 self.maybe_output(encoded)
