@@ -24,14 +24,39 @@ DFT8_IM = np.ascontiguousarray(_W.imag.astype(np.float32))
 
 
 def interpolate(lut, s):
-    """Odd (sign-preserving) piecewise-linear LUT (butteraugli.cc:249-263)."""
-    lut = jnp.asarray(np.asarray(lut, dtype=np.float32))
-    n = lut.shape[0]
+    """Odd (sign-preserving) piecewise-linear LUT (butteraugli.cc:249-263).
+
+    Table reads avoid gather (slow on the TPU vector units): small tables
+    via a one-hot contraction, larger ones via a two-level factored
+    one-hot (both exact -- each contraction sums a single 1.0 * value
+    term at HIGHEST precision)."""
+    lut_np = np.asarray(lut, dtype=np.float32)
+    lut = jnp.asarray(lut_np)
+    n = lut_np.shape[0]
     ix = jnp.abs(s)
     base = jnp.clip(ix.astype(jnp.int32), 0, n - 1)
     safe = jnp.minimum(base, n - 2)
     frac = ix - base.astype(ix.dtype)
-    res = lut[safe] + frac * (lut[safe + 1] - lut[safe])
+    # lut[safe] and lut[safe+1] in one pass: pairs[k] = (lut[k], lut[k+1]).
+    pairs_np = np.stack([lut_np, np.roll(lut_np, -1)], axis=-1)
+    if n <= 64:
+        oh = (safe[..., None]
+              == jnp.arange(n, dtype=jnp.int32)).astype(s.dtype)
+        l01 = jnp.einsum('...n,np->...p', oh, jnp.asarray(pairs_np),
+                         precision=_HI)
+    else:
+        assert n % 32 == 0
+        hi_n = n // 32
+        oh_a = (jnp.right_shift(safe, 5)[..., None]
+                == jnp.arange(hi_n, dtype=jnp.int32)).astype(s.dtype)
+        sub = jnp.einsum(
+            '...a,abp->...bp', oh_a,
+            jnp.asarray(pairs_np.reshape(hi_n, 32, 2)), precision=_HI)
+        oh_b = ((safe & 31)[..., None]
+                == jnp.arange(32, dtype=jnp.int32)).astype(s.dtype)
+        l01 = jnp.einsum('...b,...bp->...p', oh_b, sub, precision=_HI)
+    l0, l1 = l01[..., 0], l01[..., 1]
+    res = l0 + frac * (l1 - l0)
     res = jnp.where(base >= n - 1, lut[n - 1], res)
     return jnp.where(s < 0, -res, res)
 
@@ -63,19 +88,26 @@ def fft8x8_squared(blocks):
     Matches ButteraugliFFTSquared (butteraugli.cc:574-597) including its
     output layout (frequency along image x is the slow axis) and the global
     0.000064 scale.
+
+    The two DFT stages run as single large 2-D matmuls (the batch axis is
+    folded into the free dimension) rather than batches of 8x8 dots --
+    the MXU is fed one [8, 8N] contraction instead of N tiny ones.
     """
     wr = jnp.asarray(DFT8_RE)
     wi = jnp.asarray(DFT8_IM)
     a = jnp.swapaxes(blocks, -1, -2)  # [..., x, y]
-    t1r = jnp.einsum('ux,...xy->...uy', wr, a, precision=_HI)
-    t1i = jnp.einsum('ux,...xy->...uy', wi, a, precision=_HI)
-    gr = jnp.einsum('...uy,vy->...uv', t1r, wr, precision=_HI) - \
-        jnp.einsum('...uy,vy->...uv', t1i, wi, precision=_HI)
-    gi = jnp.einsum('...uy,vy->...uv', t1r, wi, precision=_HI) + \
-        jnp.einsum('...uy,vy->...uv', t1i, wr, precision=_HI)
-    sq = gr * gr + gi * gi
-    return sq.reshape(sq.shape[:-2] + (64,)) * np.float32(
-        consts.FFT_GLOBAL_MUL)
+    lead = a.shape[:-2]
+    n = int(np.prod(lead)) if lead else 1
+    a_x = a.reshape(n, 8, 8).transpose(1, 0, 2).reshape(8, n * 8)
+    t1r = jnp.matmul(wr, a_x, precision=_HI).reshape(8 * n, 8)
+    t1i = jnp.matmul(wi, a_x, precision=_HI).reshape(8 * n, 8)
+    gr = (jnp.matmul(t1r, wr.T, precision=_HI)
+          - jnp.matmul(t1i, wi.T, precision=_HI))
+    gi = (jnp.matmul(t1r, wi.T, precision=_HI)
+          + jnp.matmul(t1i, wr.T, precision=_HI))
+    sq = gr * gr + gi * gi                       # [u*n, v]
+    sq = sq.reshape(8, n, 8).transpose(1, 0, 2)  # [n, u, v]
+    return sq.reshape(lead + (64,)) * np.float32(consts.FFT_GLOBAL_MUL)
 
 
 def _remove_range_around_zero(v, rng):
@@ -115,13 +147,14 @@ def block_diff(b0, b1):
     diff_edge = jnp.stack([ex.sum(-1), ey.sum(-1), ez.sum(-1)],
                           axis=-1) * csf[0]
 
-    # AC part via FFTs of (avg y, halfdiff x/y/z).
+    # AC part via FFTs of (avg y, halfdiff x/y/z), batched into one pass.
     bavg = (b0 + b1) * 0.5
     bhd = (b0 - b1) * 0.5
-    y_avg = fft8x8_squared(bavg[..., 1, :].reshape(bavg.shape[:-2] + (8, 8)))
-    x_hd = fft8x8_squared(bhd[..., 0, :].reshape(bhd.shape[:-2] + (8, 8)))
-    y_hd = fft8x8_squared(bhd[..., 1, :].reshape(bhd.shape[:-2] + (8, 8)))
-    z_hd = fft8x8_squared(bhd[..., 2, :].reshape(bhd.shape[:-2] + (8, 8)))
+    lead = bavg.shape[:-2]
+    quad = jnp.stack([bavg[..., 1, :], bhd[..., 0, :], bhd[..., 1, :],
+                      bhd[..., 2, :]], axis=0).reshape((4,) + lead + (8, 8))
+    ffts = fft8x8_squared(quad)
+    y_avg, x_hd, y_hd, z_hd = ffts[0], ffts[1], ffts[2], ffts[3]
 
     sel = slice(4, 37)
     d = csf[sel]

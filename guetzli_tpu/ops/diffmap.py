@@ -229,20 +229,22 @@ def diff_precompute(xyb0, xyb1):
 
 
 def average5x5(img):
-    """3x3 cross+diagonal average (butteraugli.cc:1379-1438), zero-padded."""
+    """3x3 cross+diagonal average (butteraugli.cc:1379-1438), zero-padded.
+
+    Nine shifted adds on the VPU; a [1,1,H,W] single-channel conv is a
+    degenerate (and measurably slower) MXU shape."""
     h, w = img.shape[-2:]
     if h < 4 or w < 4:
         return img
     wgt = np.float32(consts.AVERAGE5X5_DIAG_W)
-    kernel = jnp.asarray(np.array([[wgt, 1, wgt], [1, 1, 1], [wgt, 1, wgt]],
-                                  dtype=np.float32))
     scale = np.float32(1.0 / (5.0 + 4 * wgt))
-    x = img.reshape((-1, 1) + img.shape[-2:])
-    out = jax.lax.conv_general_dilated(
-        x, kernel[None, None], (1, 1), [(1, 1), (1, 1)],
-        dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
-        precision=jax.lax.Precision.HIGHEST)
-    return out.reshape(img.shape) * scale
+    pads = [(0, 0)] * (img.ndim - 2) + [(1, 1), (1, 1)]
+    p = jnp.pad(img, pads)
+    c = p[..., :-2, 1:-1] + p[..., 2:, 1:-1] + p[..., 1:-1, :-2] \
+        + p[..., 1:-1, 2:] + p[..., 1:-1, 1:-1]
+    dg = p[..., :-2, :-2] + p[..., :-2, 2:] + p[..., 2:, :-2] \
+        + p[..., 2:, 2:]
+    return (c + wgt * dg) * scale
 
 
 def min_square_val(img, square=4, offset=0):
@@ -364,6 +366,26 @@ def _res_positions_dyn(padded, actual, step, margin):
     return pos, pos + margin < actual
 
 
+def _sel_matrix(targets, size):
+    """One-hot selection matrix [len(targets), size] from (traced) int32
+    positions: row i is 1.0 at column targets[i]."""
+    return (targets[:, None]
+            == jnp.arange(size, dtype=jnp.int32)[None, :]).astype(
+                jnp.float32)
+
+
+def _select_yx(img, ty, tx):
+    """img [C, H, W] -> [C, len(ty), len(tx)] picking rows ty and columns
+    tx, as two one-hot MXU contractions instead of a pointwise gather
+    (TPU gathers run on the scalar core). Exact: every output element is
+    a single 1.0 * value product summed over zeros at HIGHEST."""
+    hi = jax.lax.Precision.HIGHEST
+    sy = _sel_matrix(ty, img.shape[-2])
+    sx = _sel_matrix(tx, img.shape[-1])
+    rows = jnp.einsum('rh,chw->crw', sy, img, precision=hi)
+    return jnp.einsum('crw,xw->crx', rows, sx, precision=hi)
+
+
 def mask_high_intensity_change_dyn(xyb0, xyb1, w, h):
     ave = (xyb0 + xyb1) * 0.5
     y = ave[1]
@@ -443,16 +465,27 @@ def edge_detector_map_dyn(xyb0, xyb1, w, h, sc, step=3):
     px = jnp.clip(jnp.minimum(rx, w - 8), 0)
     py = jnp.clip(jnp.minimum(ry, h - 8), 0)
 
-    acc = jnp.zeros((3, len(ry), len(rx)))
-    cnt = jnp.zeros((len(ry), len(rx)))
-    for oy, ox in ((0, 0), (7, 0), (0, 7), (7, 7)):
-        gy = py + oy
-        gx = px + ox
-        hm = jnp.take(jnp.take(hmap, gy, axis=1), gx, axis=2)
-        vmp = jnp.take(jnp.take(vmap, gy, axis=1), gx, axis=2)
-        hv = jnp.broadcast_to(h_valid_x[gx][None, :], cnt.shape)
-        vv = jnp.broadcast_to(v_valid_y[gy][:, None], cnt.shape)
-        acc = acc + jnp.where(hv, hm, 0.0) + jnp.where(vv, vmp, 0.0)
+    ny, nx = len(ry), len(rx)
+    acc = jnp.zeros((3, ny, nx))
+    cnt = jnp.zeros((ny, nx))
+    # One selection pass for both corner offsets of both maps: rows/cols
+    # (py, py+7) x (px, px+7) of the stacked [6, hp, wp] tensor, then the
+    # four (oy, ox) combinations are static slices of the [6, 2ny, 2nx]
+    # result. Validity bits ride along as planes 7/8 so no separate
+    # gathers are needed.
+    hvx = jnp.broadcast_to(h_valid_x[None, :].astype(hmap.dtype),
+                           (hp, wp))
+    vvy = jnp.broadcast_to(v_valid_y[:, None].astype(vmap.dtype),
+                           (hp, wp))
+    stacked = jnp.concatenate([hmap, vmap, hvx[None], vvy[None]], axis=0)
+    sel = _select_yx(stacked, jnp.concatenate([py, py + 7]),
+                     jnp.concatenate([px, px + 7]))   # [8, 2ny, 2nx]
+    for oy, ox in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        blk = sel[:, oy * ny:(oy + 1) * ny, ox * nx:(ox + 1) * nx]
+        hv = blk[6] > 0.5
+        vv = blk[7] > 0.5
+        acc = (acc + jnp.where(hv[None], blk[0:3], 0.0)
+               + jnp.where(vv[None], blk[3:6], 0.0))
         cnt = cnt + hv.astype(acc.dtype) + vv.astype(acc.dtype)
 
     grid_ok = ry_ok[:, None] & rx_ok[None, :]
@@ -469,17 +502,17 @@ def block_diff_map_dyn(xyb0, xyb1, w, h, step=3):
     ry, ry_ok = _res_positions_dyn(hp, h, step, 8 - step - 1)
     px = jnp.clip(jnp.minimum(rx, w - 8), 0)
     py = jnp.clip(jnp.minimum(ry, h - 8), 0)
+    ny, nx = len(py), len(px)
 
+    # 8x8 windows of both images in one selection pass over the stacked
+    # [6, hp, wp] tensor (rows py+dy, columns px+dx).
     e8 = jnp.arange(8, dtype=jnp.int32)
-    yy = py[:, None, None, None] + e8[None, None, :, None]
-    xx = px[None, :, None, None] + e8[None, None, None, :]
-    yy, xx = jnp.broadcast_arrays(yy, xx)
-
-    def windows(img):
-        return jnp.moveaxis(img[:, yy, xx], 0, 2)
-
-    w0 = windows(xyb0).reshape(len(py), len(px), 3, 64)
-    w1 = windows(xyb1).reshape(len(py), len(px), 3, 64)
+    ty = (py[:, None] + e8[None, :]).reshape(-1)         # [ny*8]
+    tx = (px[:, None] + e8[None, :]).reshape(-1)         # [nx*8]
+    both = _select_yx(jnp.concatenate([xyb0, xyb1], axis=0), ty, tx)
+    both = both.reshape(6, ny, 8, nx, 8).transpose(1, 3, 0, 2, 4)
+    w0 = both[:, :, 0:3].reshape(ny, nx, 3, 64)
+    w1 = both[:, :, 3:6].reshape(ny, nx, 3, 64)
     dc, ac, _edge = bd.block_diff(w0, w1)
     grid_ok = (ry_ok[:, None] & rx_ok[None, :])[:, :, None]
     dc = jnp.where(grid_ok, dc, 0.0)
@@ -497,19 +530,25 @@ def edge_detector_low_freq_dyn(xyb0, xyb1, ac_map, w, h, sc, step=3):
     ys, ys_ok = _res_positions_dyn(hp, h, step, 8)
     xs, xs_ok = _res_positions_dyn(wp, w, step, 8)
 
-    def shifted(dy, dx):
-        return e[:, ys[:, None] + dy, xs[None, :] + dx]
+    # All row/column offsets the four directions need, in one selection
+    # pass: rows {ys, ys+8, ys+6}, cols {xs, xs+8, xs+6, max(xs-6, 0)}.
+    ny, nx = len(ys), len(xs)
+    sel = _select_yx(
+        e, jnp.concatenate([ys, ys + 8, ys + 6]),
+        jnp.concatenate([xs, xs + 8, xs + 6, jnp.maximum(xs - 6, 0)]))
+
+    def shifted(ri, ci):
+        return sel[:, ri * ny:(ri + 1) * ny, ci * nx:(ci + 1) * nx]
 
     base = shifted(0, 0)
     diffs = [
-        base - shifted(0, 8),
-        base - shifted(8, 0),
-        base - shifted(6, 6),
+        base - shifted(0, 1),     # (0, +8)
+        base - shifted(1, 0),     # (+8, 0)
+        base - shifted(2, 2),     # (+6, +6)
     ]
     dx4 = jnp.where((xs < 8)[None, None, :],
                     jnp.zeros_like(base),
-                    base - e[:, ys[:, None] + 6,
-                             jnp.maximum(xs - 6, 0)[None, :]])
+                    base - shifted(2, 3))    # (+6, -6)
     diffs.append(dx4)
 
     per_k = []
@@ -589,8 +628,9 @@ def combine_channels_dyn(mask_xyb, mask_dc, dc_map, ac_map, edge_map,
                          w, h, hp, wp, step=3):
     ry, ry_ok = _res_positions_dyn(hp, h, step, 8 - step)
     rx, rx_ok = _res_positions_dyn(wp, w, step, 8 - step)
-    msel = mask_xyb[:, ry[:, None] + 3, rx[None, :] + 3]
-    dsel = mask_dc[:, ry[:, None] + 3, rx[None, :] + 3]
+    both = _select_yx(jnp.concatenate([mask_xyb, mask_dc], axis=0),
+                      ry + 3, rx + 3)
+    msel, dsel = both[0:3], both[3:6]
     ny, nx = len(ry), len(rx)
     dc = dc_map[:ny, :nx]
     ac = ac_map[:ny, :nx]
