@@ -76,9 +76,22 @@ def ycbcr_to_rgb(y, cb, cr):
 
 
 def srgb_to_linear(rgb_int):
-    """uint8-range ints -> linear float via the 256-entry LUT."""
-    lut = jnp.asarray(consts.SRGB_TO_LINEAR.astype(np.float32))
-    return lut[rgb_int]
+    """uint8-range ints -> linear float via the 256-entry LUT.
+
+    The read is a two-level factored one-hot contraction (16x16) instead
+    of a gather: per-element gathers serialize on the TPU scalar core,
+    while the contraction is one [N, 16] x [16, 16] MXU matmul plus a
+    vectorized select -- exact, since each output sums a single
+    1.0 * value term (the rest are 0.0 * value) at HIGHEST precision."""
+    lut = jnp.asarray(consts.SRGB_TO_LINEAR.astype(np.float32)
+                      .reshape(16, 16))
+    ix = rgb_int.astype(jnp.int32)
+    i16 = jnp.arange(16, dtype=jnp.int32)
+    oh_hi = (jnp.right_shift(ix, 4)[..., None] == i16).astype(jnp.float32)
+    sub = jnp.einsum('...a,ab->...b', oh_hi, lut,
+                     precision=jax.lax.Precision.HIGHEST)
+    oh_lo = ((ix & 15)[..., None] == i16).astype(jnp.float32)
+    return jnp.sum(oh_lo * sub, axis=-1)
 
 
 def byte_plane(pix_x16, w):

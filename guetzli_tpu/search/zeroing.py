@@ -57,14 +57,14 @@ def candidate_scores(blocks, orig_blocks, comp_mask, new_model=True):
 
 def _eval_dispatch(mode, cand, aux, lookahead):
     """Evaluate candidate tiles [NB*L, 3, 64] under the pass's frozen
-    state `aux` (a tuple of device arrays, traced -- not baked constants).
+    state `aux` (a tuple of device arrays, PRE-REPEATED to the candidate
+    axis by _rep_aux -- hoisting the repeat out of the greedy loop).
     `mode` is static: '444', '444p' (fused Pallas kernel), '420y', or
     '420c'."""
-    rep = lambda a: jnp.repeat(a, lookahead, axis=0)
     if mode == "444":
         xyb0_tiles, scales, ysel, xsel = aux
-        lin = tile_ops.tiles_to_linear_rgb(cand, rep(xsel), rep(ysel))
-        return tile_ops.compare_blocks(rep(xyb0_tiles), lin, rep(scales))
+        lin = tile_ops.tiles_to_linear_rgb(cand, xsel, ysel)
+        return tile_ops.compare_blocks(xyb0_tiles, lin, scales)
     if mode == "444p":
         from guetzli_tpu.kernels import tile_compare as tc
         xyb0_tiles, scales, sy, sx = aux
@@ -73,18 +73,21 @@ def _eval_dispatch(mode, cand, aux, lookahead):
         pad = lambda a: jnp.concatenate(
             [a, jnp.zeros((npad,) + a.shape[1:], a.dtype)]) if npad else a
         errs = tc.tile_compare_pallas(
-            pad(cand), pad(rep(xyb0_tiles)), pad(rep(scales)),
-            pad(rep(sy)), pad(rep(sx)))
+            pad(cand), pad(xyb0_tiles), pad(scales), pad(sy), pad(sx))
         return errs[:n]
     if mode == "420y":
         chroma_bytes, xyb0_tiles, scales, ysel, xsel = aux
         return tile_ops.compare_blocks_420y(
-            cand[:, 0], rep(chroma_bytes), rep(xyb0_tiles), rep(scales),
-            rep(ysel), rep(xsel))
+            cand[:, 0], chroma_bytes, xyb0_tiles, scales, ysel, xsel)
     if mode == "420c":
-        return tile_ops.compare_blocks_420c(
-            cand[:, 1], cand[:, 2], *(rep(a) for a in aux))
+        return tile_ops.compare_blocks_420c(cand[:, 1], cand[:, 2], *aux)
     raise ValueError(mode)
+
+
+def _rep_aux(aux, lookahead):
+    """Repeat every frozen-state array to the [NB * L] candidate axis,
+    once, outside the greedy loop."""
+    return tuple(jnp.repeat(a, lookahead, axis=0) for a in aux)
 
 
 @partial(jax.jit, static_argnames=("mode", "comp_mask", "lookahead",
@@ -97,9 +100,10 @@ def _zeroing_stage(state, limit, aux, mode, comp_mask, lookahead,
     out_idx [S,K], out_err [S,K], t); see compute_zeroing_order_with.
     """
     nb = state[0].shape[0]
+    aux_rep = _rep_aux(aux, lookahead)
 
     def eval_batch(cand):
-        return _eval_dispatch(mode, cand, aux, lookahead)
+        return _eval_dispatch(mode, cand, aux_rep, lookahead)
 
     def body(state):
         processed, order, n_remaining, out_idx, out_err, t = state
@@ -116,17 +120,24 @@ def _zeroing_stage(state, limit, aux, mode, comp_mask, lookahead,
 
         best_l = jnp.argmin(errs, axis=1).astype(jnp.int32)
         best_err = jnp.min(errs, axis=1)
-        best_idx = jnp.take_along_axis(order, best_l[:, None],
-                                       axis=1)[:, 0]
+        # order[i, best_l[i]] without a gather: best_l < lookahead, so a
+        # select over the first L columns suffices (gathers serialize on
+        # the scalar core inside the loop).
+        best_idx = jnp.sum(
+            jnp.where(jnp.arange(lookahead,
+                                 dtype=jnp.int32)[None, :] == best_l[:,
+                                                                     None],
+                      idxs, 0), axis=1)
 
         zero_mask = jax.nn.one_hot(best_idx, K, dtype=jnp.int32)
         new_flat = jnp.where(active[:, None], flat * (1 - zero_mask), flat)
 
+        # Remove position best_l by shifting the tail left: a select
+        # between `order` and its static left-shift (clamped at K-1).
         j = jnp.arange(K, dtype=jnp.int32)[None, :]
-        src = jnp.minimum(j + (j >= best_l[:, None]), K - 1)
-        new_order = jnp.where(active[:, None],
-                              jnp.take_along_axis(order, src, axis=1),
-                              order)
+        shifted = jnp.concatenate([order[:, 1:], order[:, -1:]], axis=1)
+        new_order = jnp.where(active[:, None] & (j >= best_l[:, None]),
+                              shifted, order)
 
         out_idx = out_idx.at[:, t].set(jnp.where(active, best_idx, 0))
         out_err = out_err.at[:, t].set(jnp.where(active, best_err,
@@ -274,9 +285,10 @@ def compute_zeroing_order_with(blocks, orig_blocks, limit, aux, mode,
       num     [NB] int32 entries below the error limit (candidate counts).
     """
     nb = blocks.shape[0]
+    aux_rep = _rep_aux(aux, lookahead)
 
     def eval_batch(cand):
-        return _eval_dispatch(mode, cand, aux, lookahead)
+        return _eval_dispatch(mode, cand, aux_rep, lookahead)
     scores = candidate_scores(blocks, orig_blocks, comp_mask, new_model)
     order0 = jnp.argsort(scores, axis=1).astype(jnp.int32)     # [NB, K]
     n_cand = jnp.sum(jnp.isfinite(scores), axis=1).astype(jnp.int32)
@@ -297,17 +309,21 @@ def compute_zeroing_order_with(blocks, orig_blocks, limit, aux, mode,
 
         best_l = jnp.argmin(errs, axis=1).astype(jnp.int32)    # [NB]
         best_err = jnp.min(errs, axis=1)
-        best_idx = jnp.take_along_axis(order, best_l[:, None],
-                                       axis=1)[:, 0]           # [NB]
+        # Gather-free picks/shifts (see _zeroing_stage).
+        best_idx = jnp.sum(
+            jnp.where(jnp.arange(lookahead,
+                                 dtype=jnp.int32)[None, :] == best_l[:,
+                                                                     None],
+                      idxs, 0), axis=1)
 
         zero_mask = jax.nn.one_hot(best_idx, K, dtype=jnp.int32)
         new_flat = jnp.where(active[:, None], flat * (1 - zero_mask), flat)
 
         # Remove position best_l by shifting the tail left.
         j = jnp.arange(K, dtype=jnp.int32)[None, :]
-        src = jnp.minimum(j + (j >= best_l[:, None]), K - 1)
-        new_order = jnp.where(active[:, None],
-                              jnp.take_along_axis(order, src, axis=1), order)
+        shifted = jnp.concatenate([order[:, 1:], order[:, -1:]], axis=1)
+        new_order = jnp.where(active[:, None] & (j >= best_l[:, None]),
+                              shifted, order)
 
         out_idx = out_idx.at[:, t].set(jnp.where(active, best_idx, 0))
         out_err = out_err.at[:, t].set(jnp.where(active, best_err, jnp.inf))
