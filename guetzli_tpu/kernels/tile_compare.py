@@ -260,26 +260,40 @@ _CSF_MASK[4:37] = 1.0
 
 
 def _block_diff(b0, b1, d, mats=None):
-    """ButteraugliBlockDiff on [T, 3, 8, 8] (y, x) tiles -> three [T, 3]
-    accumulators (dc, ac, edge_dc). `d` = masked CSF weights [8, 8]."""
+    """ButteraugliBlockDiff on [T, 3, 8, 8] (y, x) tiles -> three
+    3-tuples of [T, 1] accumulators (dc, ac, edge_dc) per channel.
+    `d` = masked CSF weights [8, 8].
+
+    Every intermediate stays rank >= 2 and no [T, 3] concatenates are
+    formed: Mosaic's layout inference aborts on rank-1 vectors and on
+    lane-offset-shifting concats, so channel scalars stay as separate
+    [T, 1] values."""
     diff = b0 - b1
 
-    avg = jnp.mean(diff, axis=(-1, -2))          # [T, 3]
-    dcx, dcy, dcz = _xyb_lf_vals(avg[:, 0], avg[:, 1], avg[:, 2])
-    csf0 = _f32(_CSF[0])
-    diff_dc = jnp.stack([dcx * dcx, dcy * dcy, dcz * dcz],
-                        axis=1) * csf0
+    def mean2(x):
+        # [T, 8, 8] -> [T, 1] stepwise (no two-trailing-dims reduce)
+        return jnp.mean(jnp.mean(x, axis=-1), axis=-1, keepdims=True)
 
-    edges = jnp.stack([
-        jnp.mean(diff[..., :, 0], axis=-1),
-        jnp.mean(diff[..., 0, :], axis=-1),
-        jnp.mean(diff[..., :, 7], axis=-1),
-        jnp.mean(diff[..., 7, :], axis=-1),
-    ], axis=-1)                                   # [T, 3, 4]
-    ex, ey, ez = _xyb_lf_vals(edges[:, 0], edges[:, 1], edges[:, 2])
-    diff_edge = jnp.stack([
-        jnp.sum(ex * ex, axis=-1), jnp.sum(ey * ey, axis=-1),
-        jnp.sum(ez * ez, axis=-1)], axis=1) * csf0
+    csf0 = _f32(_CSF[0])
+    avg = [mean2(diff[:, c]) for c in range(3)]
+    dcx, dcy, dcz = _xyb_lf_vals(avg[0], avg[1], avg[2])
+    diff_dc = (dcx * dcx * csf0, dcy * dcy * csf0, dcz * dcz * csf0)
+
+    # Four 8x8-edge means per channel, kept as separate [T, 1] scalars.
+    def edge_means(c):
+        return [jnp.mean(diff[:, c, :, 0], axis=-1, keepdims=True),
+                jnp.mean(diff[:, c, 0, :], axis=-1, keepdims=True),
+                jnp.mean(diff[:, c, :, 7], axis=-1, keepdims=True),
+                jnp.mean(diff[:, c, 7, :], axis=-1, keepdims=True)]
+
+    e0, e1, e2 = edge_means(0), edge_means(1), edge_means(2)
+    acc = [jnp.zeros_like(diff[:, 0, 0, 0:1]) for _ in range(3)]
+    for k in range(4):
+        ex, ey, ez = _xyb_lf_vals(e0[k], e1[k], e2[k])
+        acc[0] = acc[0] + ex * ex
+        acc[1] = acc[1] + ey * ey
+        acc[2] = acc[2] + ez * ez
+    diff_edge = (acc[0] * csf0, acc[1] * csf0, acc[2] * csf0)
 
     bavg = (b0 + b1) * 0.5
     bhd = (b0 - b1) * 0.5
@@ -288,10 +302,12 @@ def _block_diff(b0, b1, d, mats=None):
     y_hd = _fft8_sq(bhd[:, 1], mats)
     z_hd = _fft8_sq(bhd[:, 2], mats)
 
-    ac_x = jnp.sum(d[None] * x_hd, axis=(-1, -2)) * _f32(
-        consts.BLOCKDIFF_AC_XMUL)
-    ac_z = jnp.sum(d[None] * z_hd, axis=(-1, -2)) * _f32(
-        consts.BLOCKDIFF_AC_ZMUL)
+    def sum2(x):
+        # [T, 8, 8] -> [T, 1] without a rank-1 intermediate
+        return jnp.sum(jnp.sum(x, axis=-1), axis=-1, keepdims=True)
+
+    ac_x = sum2(d[None] * x_hd) * _f32(consts.BLOCKDIFF_AC_XMUL)
+    ac_z = sum2(d[None] * z_hd) * _f32(consts.BLOCKDIFF_AC_ZMUL)
 
     ya = jnp.sqrt(y_avg)
     yh = jnp.sqrt(y_hd)
@@ -302,9 +318,9 @@ def _block_diff(b0, b1, d, mats=None):
     valy0 = _pw_linear(_DY_OFF, _DY_INC, y0 * ymul2)
     valy1 = _pw_linear(_DY_OFF, _DY_INC, y1 * ymul2)
     valy = _f32(consts.BLOCKDIFF_AC_YMUL) * (valy0 - valy1)
-    ac_y = jnp.sum(d[None] * valy * valy, axis=(-1, -2))
+    ac_y = sum2(d[None] * valy * valy)
 
-    diff_ac = jnp.stack([ac_x, ac_y, ac_z], axis=1)
+    diff_ac = (ac_x, ac_y, ac_z)
     return diff_dc, diff_ac, diff_edge
 
 
@@ -315,21 +331,28 @@ def _kernel(cand_ref, xyb0_ref, scale_ref, sy_ref, sx_ref, csfd_ref,
     # Edge replication: v2 = Sy @ v @ Sx^T with per-tile 0/1 matrices.
     sy = sy_ref[...]
     sx = sx_ref[...]
-    v = vals
-    rows = [None] * 8
-    for i in range(8):
-        acc = sy[:, i, 0][:, None, None] * v[:, :, 0, :]
-        for j in range(1, 8):
-            acc = acc + sy[:, i, j][:, None, None] * v[:, :, j, :]
-        rows[i] = acc
-    v = jnp.stack(rows, axis=2)
-    cols = [None] * 8
-    for i in range(8):
-        acc = sx[:, i, 0][:, None, None] * v[:, :, :, 0]
-        for j in range(1, 8):
-            acc = acc + sx[:, i, j][:, None, None] * v[:, :, :, j]
-        cols[i] = acc
-    v = jnp.stack(cols, axis=3)                    # [T, 3, 8, 8] bytes
+
+    # Edge replication per channel with [T, 8] intermediates: the
+    # selection scalar slices are [T, 1], so every multiply broadcasts
+    # lanes only (Mosaic cannot broadcast sublanes and lanes in one op).
+    chans = []
+    for c in range(3):
+        vc = vals[:, c]                            # [T, 8, 8] (y, x)
+        rows = [None] * 8
+        for i in range(8):
+            acc = sy[:, i, 0:1] * vc[:, 0, :]
+            for j in range(1, 8):
+                acc = acc + sy[:, i, j:j + 1] * vc[:, j, :]
+            rows[i] = acc                          # [T, 8] over x
+        v2 = jnp.stack(rows, axis=1)               # [T, 8, 8] (y, x)
+        cols = [None] * 8
+        for i in range(8):
+            acc = sx[:, i, 0:1] * v2[:, :, 0]
+            for j in range(1, 8):
+                acc = acc + sx[:, i, j:j + 1] * v2[:, :, j]
+            cols[i] = acc                          # [T, 8] over y
+        chans.append(jnp.stack(cols, axis=2))      # [T, 8, 8] (y, x)
+    v = jnp.stack(chans, axis=1)                   # [T, 3, 8, 8] bytes
 
     # YCbCr -> RGB (color_transform.h), integer.
     yy = v[:, 0]
@@ -346,8 +369,12 @@ def _kernel(cand_ref, xyb0_ref, scale_ref, sy_ref, sx_ref, csfd_ref,
     dc, ac, edge = _block_diff(m0, m1, csfd_ref[...], mats)
 
     scale = scale_ref[...]                         # [T, 3]
-    diff = jnp.sum((dc + ac) * scale, axis=1)
-    diff_edge = jnp.sum(edge * scale, axis=1)
+    diff = jnp.zeros_like(dc[0])
+    diff_edge = jnp.zeros_like(dc[0])
+    for c in range(3):
+        sc = scale[:, c:c + 1]
+        diff = diff + (dc[c] + ac[c]) * sc
+        diff_edge = diff_edge + edge[c] * sc
     w = _f32(consts.BLOCK_EDGE_WEIGHT)
     out_ref[...] = jnp.sqrt((1.0 - w) * diff + w * diff_edge)
 
@@ -402,14 +429,14 @@ def _tile_compare_pallas(cand, xyb0_tiles, scales, sy, sx,
             pl.BlockSpec((3, 8, 8), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE,), lambda i: (i,),
+        out_specs=pl.BlockSpec((TILE, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n,), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
         interpret=interpret,
     )(cand.reshape(-1, 3, 8, 8), xyb0_tiles, scales, sy, sx,
       jnp.asarray((_CSF64 * _CSF_MASK).reshape(8, 8)),
       jnp.asarray(np.stack([_BM.T, _DFT_RE.T, _DFT_IM.T])))
-    return out
+    return out[:, 0]
 
 
 # ---------------------------------------------------------------------
