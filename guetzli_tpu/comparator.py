@@ -515,14 +515,26 @@ class Comparator:
 
     # Fixed trial-batch sizes: one compiled program per (bucket, B).
     _QUANT_BATCH_SIZES = (4, 8)
+    # HBM budget for one wave: batch * padded pixels. Each trial holds
+    # several plane-sized f32 buffers through the diffmap pipeline, so
+    # 8-wide waves on 8+ MPix images exceed the 16 GB v5e HBM.
+    _QUANT_BATCH_PIXEL_BUDGET = 32 << 20
+
+    def quant_batch_sizes(self):
+        """Wave sizes permitted for this image geometry."""
+        g = self.geom
+        cap = max(1, self._QUANT_BATCH_PIXEL_BUDGET // (g.wp * g.hp))
+        sizes = tuple(s for s in self._QUANT_BATCH_SIZES if s <= cap)
+        return sizes if sizes else (cap if cap < self._QUANT_BATCH_SIZES[0]
+                                    else self._QUANT_BATCH_SIZES[0],)
 
     def dispatch_quant_batch(self, base, qs):
         """Evaluate len(qs) quant-matrix trials in one device program.
         Returns a handle; fetch_quant_scores completes it."""
         g = self.geom
         b = len(qs)
-        bp = next((s for s in self._QUANT_BATCH_SIZES if s >= b),
-                  self._QUANT_BATCH_SIZES[-1])
+        sizes = self.quant_batch_sizes()
+        bp = next((s for s in sizes if s >= b), sizes[-1])
         qs_np = np.stack([np.asarray(q, np.int32) for q in qs])
         if bp > b:
             qs_np = np.concatenate(

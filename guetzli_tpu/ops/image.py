@@ -44,10 +44,19 @@ def idct_blocks(coeffs):
 
 
 def blocks_to_plane(blocks, bw, bh, w, h):
-    """[..., bh*bw, 64] -> [..., h, w] pixel plane (crop to image size)."""
+    """[..., bh*bw, 64] -> [..., h, w] pixel plane (crop to image size).
+
+    Assembled as 8 per-block-row lane slices stacked on a size-8
+    second-minor axis. The naive swapaxes form materializes a
+    [..., bh, 8, bw, 8] intermediate whose minor dim 8 is padded to the
+    128-lane tile -- 16x the logical bytes, which OOMs HBM at 8+ MPix
+    (25.6 GB for a batched 8.3 MPix compare). Here every intermediate
+    keeps a >= bw*8 minor dim."""
     lead = blocks.shape[:-2]
-    img = blocks.reshape(lead + (bh, bw, 8, 8))
-    img = jnp.swapaxes(img, -3, -2).reshape(lead + (bh * 8, bw * 8))
+    a = blocks.reshape(lead + (bh, bw, 64))
+    rows = [a[..., r * 8:(r + 1) * 8].reshape(lead + (bh, bw * 8))
+            for r in range(8)]
+    img = jnp.stack(rows, axis=-2).reshape(lead + (bh * 8, bw * 8))
     return img[..., :h, :w]
 
 

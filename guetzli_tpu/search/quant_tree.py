@@ -74,8 +74,9 @@ def select_quant_matrix_tree(proc, jpg_in, downsample, best_q, img,
             if k not in memo and k not in seen:
                 seen.add(k)
                 fresh.append(q)
-        for i in range(0, len(fresh), comp._QUANT_BATCH_SIZES[-1]):
-            chunk = fresh[i:i + comp._QUANT_BATCH_SIZES[-1]]
+        wave = comp.quant_batch_sizes()[-1]
+        for i in range(0, len(fresh), wave):
+            chunk = fresh[i:i + wave]
             handle = comp.dispatch_quant_batch(base, chunk)
             scores = comp.fetch_quant_scores(handle)
             for j, q in enumerate(chunk):
