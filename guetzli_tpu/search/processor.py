@@ -677,6 +677,8 @@ class Processor:
                     first_up_iter = False
 
                 li_before = last_indexes.copy()
+                _t_flips = self.stats.timed("backend_flips")
+                _t_flips.__enter__()
                 flips = self._run_flips_native(
                     img, jpg, bw, offsets, cand_idx, cand_err,
                     last_indexes, order_blocks, order_vals, direction,
@@ -698,6 +700,7 @@ class Processor:
                             dc_size, ac_histograms, ac_depths,
                             ac_histogram_size)
 
+                _t_flips.__exit__(None, None, None)
                 max_block_error += (np.asarray(block_weight)
                                     * val_threshold * direction)
 
@@ -717,20 +720,21 @@ class Processor:
                             img, direction, target_mul, factor,
                             factor)  # noqa: E731
                 pending = dispatch()
-                if (not can_collapse and os.environ.get(
-                        "GUETZLI_TPU_NO_INCR_SAVE") != "1"):
-                    img.update_jpeg_data(jpg_out, changed,
-                                         flip_channels, bw)
-                else:
-                    jpg_out = img.save_to_jpeg_data(jpg)
-                if (len(jpg_out.components) == ncomp_out0
-                        and os.environ.get(
-                            "GUETZLI_TPU_NO_HISTO_REUSE") != "1"):
-                    encoded = self.output_jpeg(
-                        jpg_out, dc_histograms0,
-                        ac_histograms[:ncomp_out0])
-                else:
-                    encoded = self.output_jpeg(jpg_out)
+                with self.stats.timed("backend_serialize"):
+                    if (not can_collapse and os.environ.get(
+                            "GUETZLI_TPU_NO_INCR_SAVE") != "1"):
+                        img.update_jpeg_data(jpg_out, changed,
+                                             flip_channels, bw)
+                    else:
+                        jpg_out = img.save_to_jpeg_data(jpg)
+                    if (len(jpg_out.components) == ncomp_out0
+                            and os.environ.get(
+                                "GUETZLI_TPU_NO_HISTO_REUSE") != "1"):
+                        encoded = self.output_jpeg(
+                            jpg_out, dc_histograms0,
+                            ac_histograms[:ncomp_out0])
+                    else:
+                        encoded = self.output_jpeg(jpg_out)
                 self.stats.log(
                     "Iter %2d: (%d) %s Coeffs[%d/%d] Blocks[%d/%d/%d] "
                     "ValThres[%.4f] Out[%7d] EstErr[%.2f%%]",
@@ -750,9 +754,10 @@ class Processor:
                     return self.comparator.dispatch_compare_with_weights(
                         img, direction, target_mul, factor, factor)
 
-                d, w4 = self._recoverable(
-                    recover_dispatch, self.comparator.fetch_compare,
-                    pending)
+                with self.stats.timed("backend_fetch"):
+                    d, w4 = self._recoverable(
+                        recover_dispatch, self.comparator.fetch_compare,
+                        pending)
                 cached_weights = (direction, w4)
                 self.stats.log(" BA[100.00%%] D[%6.4f]", d)
                 self.maybe_output(encoded)

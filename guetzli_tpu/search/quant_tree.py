@@ -77,8 +77,9 @@ def select_quant_matrix_tree(proc, jpg_in, downsample, best_q, img,
         wave = comp.quant_batch_sizes()[-1]
         for i in range(0, len(fresh), wave):
             chunk = fresh[i:i + wave]
-            handle = comp.dispatch_quant_batch(base, chunk)
-            scores = comp.fetch_quant_scores(handle)
+            with proc.stats.timed("quant_device"):
+                handle = comp.dispatch_quant_batch(base, chunk)
+                scores = comp.fetch_quant_scores(handle)
             for j, q in enumerate(chunk):
                 memo[q.tobytes()] = (scores[j], handle, j)
 
@@ -97,10 +98,11 @@ def select_quant_matrix_tree(proc, jpg_in, downsample, best_q, img,
         # Replay one serial iteration (TryQuantMatrix, :310-338): host
         # requantization (bit-identical to the device's), serialization,
         # reference-format logging, MaybeOutput -- in the serial order.
-        trial = base_img.copy()
-        trial.apply_global_quantization(cur_q)
-        img.comps = trial.comps
-        encoded = proc.output_jpeg(trial.save_to_jpeg_data(jpg_in))
+        with proc.stats.timed("quant_host"):
+            trial = base_img.copy()
+            trial.apply_global_quantization(cur_q)
+            img.comps = trial.comps
+            encoded = proc.output_jpeg(trial.save_to_jpeg_data(jpg_in))
         proc.stats.inc("iters")
         from guetzli_tpu.search.processor import _frame_type_str
         proc.stats.log("Iter %2d: %s quantization matrix:\n",
