@@ -20,12 +20,21 @@ from guetzli_tpu.codec import jpeg_data as jd
 
 
 def quantize(coeff, quant):
-    """Round to nearest multiple (guetzli/quantize.h), C truncation."""
-    c = np.asarray(coeff, dtype=np.int64)
-    q = np.asarray(quant, dtype=np.int64)
-    r = np.sign(c) * (np.abs(c) % q)
-    delta = np.where(2 * r > q, q - r, np.where(-2 * r > q, -q - r, -r))
-    return (c + delta).astype(np.int32)
+    """Round to nearest multiple (guetzli/quantize.h), C truncation.
+
+    Works on |coeff|: for m = |c| % q the signed-delta cases collapse to
+    |out| = |c| + (q - m if 2m > q else -m), out = sign(c) * |out| --
+    identical to the reference's signed-remainder form but in int32
+    (values are bounded by the 4096 sanity gate) with ~half the
+    temporaries; this runs once per accepted quant-search iteration over
+    every coefficient, ~0.5 s/MPix/call in the int64 form."""
+    c = np.asarray(coeff, dtype=np.int32)
+    q = np.asarray(quant, dtype=np.int32)
+    a = np.abs(c)
+    m = a % q
+    out = a + np.where(m + m > q, q - m, -m)
+    np.negative(out, where=c < 0, out=out)
+    return out
 
 
 @dataclass
