@@ -153,8 +153,9 @@ def _stage_checks(rgb, w, h):
         np.stack([np.asarray(want_mask)[c, (np.arange(nb) // bw) * 8,
                                         (np.arange(nb) % bw) * 8]
                   for c in range(3)], axis=-1))
-    want_cb = nr.compare_blocks(xyb0_tiles.astype(np.float64),
-                                cand_lin.astype(np.float64), scales)
+    want_cb = nr.compare_blocks(
+        xyb0_tiles.reshape(nb, 3, 8, 8).astype(np.float64),
+        cand_lin.astype(np.float64), scales)
     got_cb = tile_ops.compare_blocks(f32(xyb0_tiles), f32(cand_lin),
                                      f32(scales))
     total += _report(f"CompareBlock[{nb} blocks]", got_cb, want_cb)

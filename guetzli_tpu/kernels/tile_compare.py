@@ -403,7 +403,7 @@ def _tile_compare_pallas(cand, xyb0_tiles, scales, sy, sx,
       cand: [N, 3, 64] int32 dequantized candidate coefficients
         (N a multiple of TILE; pad with zeros); reshaped to blocks outside
         the kernel (Mosaic rejects minor-dim shape casts in-kernel).
-      xyb0_tiles: [N, 3, 8, 8] f32; scales: [N, 3] f32;
+      xyb0_tiles: [N, 3, 64] f32 (flat storage); scales: [N, 3] f32;
       sy, sx: [N, 8, 8] int32 selection matrices.
     Returns [N] float32 block errors.
     """
@@ -433,7 +433,8 @@ def _tile_compare_pallas(cand, xyb0_tiles, scales, sy, sx,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
         interpret=interpret,
-    )(cand.reshape(-1, 3, 8, 8), xyb0_tiles, scales, sy, sx,
+    )(cand.reshape(-1, 3, 8, 8), xyb0_tiles.reshape(-1, 3, 8, 8),
+      scales, sy, sx,
       jnp.asarray((_CSF64 * _CSF_MASK).reshape(8, 8)),
       jnp.asarray(np.stack([_BM.T, _DFT_RE.T, _DFT_IM.T])))
     return out[:, 0]

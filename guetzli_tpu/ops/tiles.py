@@ -96,16 +96,20 @@ def compare_blocks(xyb0_tiles, cand_lin, scale):
     """Batched ButteraugliComparator::CompareBlock core.
 
     Args:
-      xyb0_tiles: [..., 3, 8, 8] opsin tiles of the original image
+      xyb0_tiles: [..., 3, 64] opsin tiles of the original image
         (per-block opsin, clamped-edge sampling -- SwitchBlock semantics).
+        Stored flat: a [..., 8, 8] device array pads its minor dim to the
+        128-lane tile (16x the bytes); the flat form is reshaped here
+        inside the fusion instead.
       cand_lin:   [..., 3, 8, 8] linear RGB of the candidate reconstruction.
       scale:      [..., 3] whole-image mask values at the block's top-left
         pixel (butteraugli_comparator.cc:148-151).
     Returns:
       [...] float32 block errors.
     """
+    xyb0 = xyb0_tiles.reshape(xyb0_tiles.shape[:-1] + (8, 8))
     xyb1 = opsin_dynamics_blocks(cand_lin)
-    m0, m1 = mask_high_intensity_change_tiles(xyb0_tiles, xyb1)
+    m0, m1 = mask_high_intensity_change_tiles(xyb0, xyb1)
     flat0 = m0.reshape(m0.shape[:-2] + (64,))
     flat1 = m1.reshape(m1.shape[:-2] + (64,))
     dc, ac, edge = bd.block_diff(flat0, flat1)
@@ -205,7 +209,7 @@ def original_opsin_tiles(rgb, w, h, bw, bh):
     Args:
       rgb: uint8 [h, w, 3].
     Returns:
-      [bh*bw, 3, 8, 8] float32 opsin tiles (numpy in, jax out).
+      [bh*bw, 3, 64] float32 opsin tiles, stored flat (numpy in, jax out).
     """
     lut = consts.SRGB_TO_LINEAR.astype(np.float32)
     xs = np.minimum(np.arange(bw * 8), w - 1)
@@ -214,4 +218,5 @@ def original_opsin_tiles(rgb, w, h, bw, bh):
     tiles = (lin.reshape(bh, 8, bw, 8, 3)
              .transpose(0, 2, 4, 1, 3)
              .reshape(bh * bw, 3, 8, 8))
-    return opsin_dynamics_blocks(jnp.asarray(tiles))
+    out = opsin_dynamics_blocks(jnp.asarray(tiles))
+    return out.reshape(bh * bw, 3, 64)

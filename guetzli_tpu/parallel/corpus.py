@@ -87,7 +87,7 @@ def make_search_step(mesh, bw, bh, w, h):
       coeffs  [B, 3, NB, 64]  int32, NB additionally sharded on 'tile'
       orig    [B, 3, NB, 64]  int32
       xyb0    [B, 3, H, W]    float32, H sharded on 'tile'
-      xyb0_tiles [B, NB, 3, 8, 8], scales [B, NB, 3],
+      xyb0_tiles [B, NB, 3, 64] (flat tile storage), scales [B, NB, 3],
       ysel/xsel [B, NB, 8], limit scalar
     Returns (scores [B], new_coeffs, block_errs).
     """
@@ -95,7 +95,7 @@ def make_search_step(mesh, bw, bh, w, h):
         NamedSharding(mesh, P("batch", None, "tile", None)),   # coeffs
         NamedSharding(mesh, P("batch", None, "tile", None)),   # orig
         NamedSharding(mesh, P("batch", None, "tile", None)),   # xyb0 (H)
-        NamedSharding(mesh, P("batch", "tile", None, None, None)),
+        NamedSharding(mesh, P("batch", "tile", None, None)),
         NamedSharding(mesh, P("batch", "tile", None)),
         NamedSharding(mesh, P("batch", "tile", None)),
         NamedSharding(mesh, P("batch", "tile", None)),

@@ -75,7 +75,7 @@ def test_sharded_search_step_numerics():
 
     coeffs = np.zeros((b, 3, (w // 8) * (h // 8), 64), dtype=np.int32)
     xyb0 = np.zeros((b, 3, h, w), dtype=np.float32)
-    tiles = np.zeros((b, (w // 8) * (h // 8), 3, 8, 8), dtype=np.float32)
+    tiles = np.zeros((b, (w // 8) * (h // 8), 3, 64), dtype=np.float32)
     scales = np.zeros((b, (w // 8) * (h // 8), 3), dtype=np.float32)
     ysels = np.zeros((b, (w // 8) * (h // 8), 8), dtype=np.int32)
     xsels = np.zeros((b, (w // 8) * (h // 8), 8), dtype=np.int32)
