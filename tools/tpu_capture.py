@@ -71,57 +71,60 @@ def main():
         json.dump(results["bench"], f)
     print(json.dumps(results["bench"]))
 
-    # 2. 1 MPix phase split.
-    code = (
-        "import time, json; "
+    # 2. Phase splits (finer stats.timings: quant_device/quant_host/
+    # zeroing_aux/zeroing_loop/backend_flips/backend_serialize/
+    # backend_fetch). bees first (fast, banks the fine split early),
+    # then 1 MPix.
+    phase_code = (
+        "import time, json, sys; "
         "from guetzli_tpu import consts; "
-        "from guetzli_tpu.io.png import read_png; "
         "from guetzli_tpu.search.processor import Params, ProcessStats, "
         "process_rgb; "
         "import numpy as np; from PIL import Image; "
         "im = Image.open('/root/reference/tests/bees.png').convert('RGB'); "
-        "im = im.resize((1332, 774)); rgb = np.asarray(im, np.uint8); "
+        "w, h = map(int, sys.argv[1:3]); "
+        "im = im.resize((w, h)) if (w, h) != im.size else im; "
+        "rgb = np.asarray(im, np.uint8); "
         "p = Params(); "
         "p.butteraugli_target = consts.butteraugli_score_for_quality(95); "
-        "process_rgb(p, rgb, 1332, 774, ProcessStats()); "
+        "process_rgb(p, rgb, w, h, ProcessStats()); "
         "s = ProcessStats(); t0 = time.time(); "
-        "out = process_rgb(p, rgb, 1332, 774, s); "
+        "out = process_rgb(p, rgb, w, h, s); "
         "print(json.dumps({'wall_s': round(time.time()-t0,2), "
         "'bytes': len(out), 'timings': {k: round(v,2) for k,v in "
         "s.timings.items()}, 'counters': s.counters}))")
-    t0 = time.time()
-    rc, out, err = run([sys.executable, "-c", code], 7200)
-    line = [ln for ln in out.splitlines() if ln.startswith("{")]
-    results["phases_1mpix"] = {
-        "rc": rc, "wall": round(time.time() - t0, 1),
-        "json": json.loads(line[-1]) if line else None,
-        "stderr_tail": err[-500:]}
-    with open(prefix + "_phases.json", "w") as f:
-        json.dump(results["phases_1mpix"], f)
-    print(json.dumps(results["phases_1mpix"]))
+    for tag, (w, h), tmo in (("phases_bees", (444, 258), 1800),
+                             ("phases_1mpix", (1332, 774), 7200)):
+        t0 = time.time()
+        rc, out, err = run([sys.executable, "-c", phase_code,
+                            str(w), str(h)], tmo)
+        line = [ln for ln in out.splitlines() if ln.startswith("{")]
+        results[tag] = {
+            "rc": rc, "wall": round(time.time() - t0, 1),
+            "json": json.loads(line[-1]) if line else None,
+            "stderr_tail": err[-500:]}
+        with open("%s_%s.json" % (prefix, tag), "w") as f:
+            json.dump(results[tag], f)
+        print(json.dumps(results[tag]))
 
-    # 3. Pallas Mosaic AOT retry (dot_general lowering) via the checkcl
-    # harness -- its tile_compare(pallas) row either verifies vs the XLA
-    # path or reports SKIPPED with the Mosaic error.
-    rc, out, err = run(
-        [sys.executable, "-m", "guetzli_tpu.cli", "--checkcl",
-         "--quality", "95", "tests/fixtures/bees96x64.png",
-         "/tmp/tpu_checkcl.jpg"], 3600,
-        env={"GUETZLI_TPU_PALLAS_DOT": "1", "GUETZLI_TPU_PALLAS": "1"})
-    tile_rows = [ln for ln in (out + err).splitlines()
-                 if "tile_compare" in ln]
-    results["pallas"] = {"rc": rc, "tile_rows": tile_rows,
-                         "stderr_tail": err[-800:]}
-    with open(prefix + "_pallas.json", "w") as f:
-        json.dump(results["pallas"], f)
-    print(json.dumps(results["pallas"]))
+    # 3. 8 MPix large-image encode (validates the lane-clean
+    # blocks_to_plane + HBM-budgeted quant wave OOM fixes).
+    t0 = time.time()
+    rc, out, err = run([sys.executable, "tools/large_encode.py",
+                        "--mpix", "8"], 7200)
+    results["large"] = {"rc": rc, "wall": round(time.time() - t0, 1),
+                        "out_tail": out[-800:],
+                        "stderr_tail": err[-500:]}
+    with open(prefix + "_large.json", "w") as f:
+        json.dump(results["large"], f)
+    print(json.dumps(results["large"]))
 
     # 4. Lockstep corpus throughput.
     if not skip_corpus:
         t0 = time.time()
         import glob as _glob
         inputs = sorted(_glob.glob(
-            os.path.join(REPO, "tests/fixtures/bees_*.png")))
+            os.path.join(REPO, "tests/fixtures/bees*.png")))
         rc, out, err = run(
             [sys.executable, "tools/corpus_encode.py", "--lockstep",
              "--out", "/tmp/tpu_corpus"] + inputs, 3600)
@@ -131,6 +134,28 @@ def main():
         with open(prefix + "_corpus.json", "w") as f:
             json.dump(results["corpus"], f)
         print(json.dumps(results["corpus"]))
+
+    # 5. LAST (long compile; killing it mid-compile is a suspected tunnel
+    # wedge trigger, so everything above must already be banked): Pallas
+    # Mosaic AOT retry of the rank-2-safe tile-compare via the checkcl
+    # harness -- its tile_compare(pallas) row either verifies vs the XLA
+    # path or reports SKIPPED with the Mosaic error.
+    for dot in ("0", "1"):
+        rc, out, err = run(
+            [sys.executable, "-m", "guetzli_tpu.cli", "--checkcl",
+             "--quality", "95", "tests/fixtures/bees96x64.png",
+             "/tmp/tpu_checkcl.jpg"], 2400,
+            env={"GUETZLI_TPU_PALLAS_DOT": dot, "GUETZLI_TPU_PALLAS": "1"})
+        tile_rows = [ln for ln in (out + err).splitlines()
+                     if "tile_compare" in ln]
+        results["pallas_dot%s" % dot] = {
+            "rc": rc, "tile_rows": tile_rows, "stderr_tail": err[-800:]}
+        with open("%s_pallas_dot%s.json" % (prefix, dot), "w") as f:
+            json.dump(results["pallas_dot%s" % dot], f)
+        print(json.dumps(results["pallas_dot%s" % dot]))
+        ok = any("OK" in r or "ok" in r for r in tile_rows)
+        if ok:
+            break
 
     return 0
 
