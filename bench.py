@@ -122,7 +122,66 @@ def main():
         result.update(_mfu_estimate(rgb, w, h, params))
     except Exception as e:                      # never fail the bench on it
         sys.stderr.write("mfu estimate failed: %s\n" % e)
+    try:
+        result["sync_rtt_ms"] = _sync_rtt_ms()
+    except Exception as e:
+        sys.stderr.write("rtt estimate failed: %s\n" % e)
+    try:
+        import os
+        if os.environ.get("GUETZLI_TPU_BENCH_BATCH", "1") != "0":
+            result.update(_batch_throughput(out, mpix))
+    except Exception as e:
+        sys.stderr.write("batch throughput failed: %s\n" % e)
     print(json.dumps(result))
+
+
+def _batch_throughput(single_out, mpix, batch=4):
+    """Per-chip throughput when the chip is fed a batch: `batch` copies of
+    the same workload encoded via the lockstep corpus path (one vmapped
+    compare program + one pull per search round across the batch;
+    per-image round trips overlap). Outputs are byte-identical to the
+    serial encoder, so the parity gates still hold; this is the
+    TPU-native serving number -- sequential per-image latency is bounded
+    by the host<->device round trip, which batching amortizes."""
+    from guetzli_tpu.parallel.lockstep import encode_corpus_lockstep
+
+    with open("/root/reference/tests/bees.png", "rb") as f:
+        data = f.read()
+    inputs = [("bees%d" % i, data) for i in range(batch)]
+    encode_corpus_lockstep(inputs, quality=95, threads=batch)   # warm
+    t0 = time.time()
+    outs = encode_corpus_lockstep(inputs, quality=95, threads=batch)
+    dt = time.time() - t0
+    outs = dict(outs) if not isinstance(outs, dict) else outs
+    vals = list(outs.values()) if isinstance(outs, dict) else outs
+    identical = all(v == single_out for v in vals)
+    return {
+        "batch_images": batch,
+        "batch_mpix_s": round(batch * mpix / dt, 5),
+        "batch_vs_baseline": round(batch * mpix / dt / REF_MPIX_PER_S, 2),
+        "batch_encode_s": round(dt, 2),
+        "batch_outputs_identical_to_serial": bool(identical),
+    }
+
+
+def _sync_rtt_ms(reps=20):
+    """Median host->device->host round trip for a trivial program: the
+    per-iteration latency floor of any dispatch+fetch phase. On a tunneled
+    deployment this is the dominant per-iteration cost and bounds the
+    sequential back-end loop; on a local chip it is ~0.1-1 ms."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.float32(0.0)
+    float(f(x))                                  # compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        float(f(x))                              # dispatch + scalar fetch
+        ts.append(time.time() - t0)
+    ts.sort()
+    return round(ts[len(ts) // 2] * 1e3, 2)
 
 
 # Rough per-chip peak for %-of-peak reporting. The pipeline is float32
