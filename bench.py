@@ -21,6 +21,14 @@ REF_MPIX_PER_S = 0.01553        # reference CPU guetzli, this-host measurement
 REF_SIZE = 37910                # reference output bytes for bees.png q95
 REF_DISTANCE = 0.9717
 
+# 1 MPix workload: bees.png resized to 1332x774 (PIL LANCZOS-default
+# resize; tools/tpu_capture.py uses the same recipe). Reference CPU build
+# (/tmp/refbuild, make config=release) measured on this host 2026-08-18:
+# 26.28 s, 176780 bytes at q95.
+REF_1MPIX_S = 26.28
+REF_1MPIX_SIZE = 176780
+REF_1MPIX_MPIX_S = (1332 * 774 / 1e6) / REF_1MPIX_S
+
 
 def _probe_backend(timeout_s=180):
     """Check device availability in a subprocess: a wedged TPU tunnel
@@ -132,7 +140,46 @@ def main():
             result.update(_batch_throughput(out, mpix))
     except Exception as e:
         sys.stderr.write("batch throughput failed: %s\n" % e)
+    # Production-scale workload (1 MPix) on the accelerator: per-pixel
+    # round-trip overheads amortize and the MXU sees full-size planes, so
+    # this is the per-chip number a deployment would observe. Skipped on
+    # the CPU fallback to keep the fallback bench short.
+    try:
+        import os
+        if (jax.default_backend() != "cpu"
+                and os.environ.get("GUETZLI_TPU_BENCH_1MPIX", "1") != "0"):
+            result.update(_mpix1_bench(params))
+    except Exception as e:
+        sys.stderr.write("1mpix bench failed: %s\n" % e)
     print(json.dumps(result))
+
+
+def _mpix1_bench(params):
+    """Encode the 1 MPix workload (warm, timed) with the same parity gate
+    vs the reference binary's same-image output on this host."""
+    import numpy as np
+    from PIL import Image
+
+    from guetzli_tpu.search.processor import ProcessStats, process_rgb
+
+    im = Image.open("/root/reference/tests/bees.png").convert("RGB")
+    im = im.resize((1332, 774))
+    rgb = np.asarray(im, np.uint8)
+    mpix = 1332 * 774 / 1e6
+    process_rgb(params, rgb, 1332, 774, ProcessStats())      # warm
+    t0 = time.time()
+    out = process_rgb(params, rgb, 1332, 774, ProcessStats())
+    dt = time.time() - t0
+    v = mpix / dt
+    return {
+        "mpix1_encode_s": round(dt, 2),
+        "mpix1_mpix_s": round(v, 5),
+        "mpix1_vs_ref_same_image": round(v / REF_1MPIX_MPIX_S, 2),
+        "mpix1_out_bytes": len(out),
+        "mpix1_ref_bytes": REF_1MPIX_SIZE,
+        "mpix1_parity": bool(abs(len(out) - REF_1MPIX_SIZE)
+                             <= 0.02 * REF_1MPIX_SIZE),
+    }
 
 
 def _batch_throughput(single_out, mpix, batch=4):
