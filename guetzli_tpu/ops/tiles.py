@@ -67,6 +67,40 @@ def mask_high_intensity_change_tiles(t0, t1):
     return out0, out1
 
 
+def edge_replicate(v, ysel, xsel):
+    """Right/bottom image-edge byte replication of ToPixels
+    (output_image.cc:86-97) without gathers: the per-tile clamped index
+    vectors encode a single (ymax, xmax) clamp, so the replication is one
+    one-hot contraction (the edge row/column) plus a lane select. Gathers
+    serialize on the TPU scalar core; this form stays on the VPU/MXU.
+
+    Args:
+      v: [..., 8, 8] integer-valued tiles (any leading dims).
+      ysel, xsel: [...sel, 8] int32 clamped index vectors (min(i, max));
+        their leading dims are v's leading dims minus any channel-like
+        axes between them and the trailing [8, 8] (broadcast over those).
+    """
+    extra = v.ndim - ysel.ndim - 1          # channel-like axes to broadcast
+    f = v.astype(jnp.float32)
+    iy = jnp.arange(8, dtype=jnp.int32)
+    ymax = ysel[..., 7]
+    xmax = xsel[..., 7]
+    oh_y = (iy == ymax[..., None]).astype(jnp.float32)      # [...sel, 8]
+    oh_x = (iy == xmax[..., None]).astype(jnp.float32)
+    my = iy <= ymax[..., None]                              # [...sel, 8]
+    mx = iy <= xmax[..., None]
+    for _ in range(extra):
+        oh_y = oh_y[..., None, :]
+        oh_x = oh_x[..., None, :]
+        my = my[..., None, :]
+        mx = mx[..., None, :]
+    row = jnp.sum(oh_y[..., :, None] * f, axis=-2)          # [..., 8] over x
+    f = jnp.where(my[..., :, None], f, row[..., None, :])
+    col = jnp.sum(oh_x[..., None, :] * f, axis=-1)          # [..., 8] over y
+    f = jnp.where(mx[..., None, :], f, col[..., None])
+    return f.astype(v.dtype)
+
+
 def tiles_to_linear_rgb(coeff_tiles, xsel, ysel):
     """Dequantized coefficient tiles -> linear RGB tiles.
 
@@ -84,8 +118,7 @@ def tiles_to_linear_rgb(coeff_tiles, xsel, ysel):
     # For factor-1 components the x16 pixel cache + parity dither round-trips
     # to the IDCT bytes exactly ((16*v + 8 - (x&1)) >> 4 == v), so the bytes
     # are the IDCT values; only the edge replication needs modeling.
-    v = jnp.take_along_axis(v, ysel[..., None, :, None], axis=-2)
-    v = jnp.take_along_axis(v, xsel[..., None, None, :], axis=-1)
+    v = edge_replicate(v, ysel, xsel)
     rgb = img_ops.ycbcr_to_rgb(v[..., 0, :, :], v[..., 1, :, :],
                                v[..., 2, :, :])     # stacks on axis 0
     rgb = jnp.moveaxis(rgb, 0, -3)                  # [..., 3, 8, 8]
@@ -139,8 +172,7 @@ def compare_blocks_420y(cand_y, chroma_bytes, xyb0_tiles, scales,
     edge-replicated); rest as compare_blocks.
     """
     yv = img_ops.idct_blocks(cand_y).reshape(cand_y.shape[:-1] + (8, 8))
-    yv = jnp.take_along_axis(yv, ysel[..., :, None], axis=-2)
-    yv = jnp.take_along_axis(yv, xsel[..., None, :], axis=-1)
+    yv = edge_replicate(yv, ysel, xsel)
     rgb = img_ops.ycbcr_to_rgb(yv, chroma_bytes[:, 0], chroma_bytes[:, 1])
     lin = img_ops.srgb_to_linear(jnp.moveaxis(rgb, 0, -3))
     return compare_blocks(xyb0_tiles, lin, scales)
@@ -191,8 +223,7 @@ def compare_blocks_420c(cand_u, cand_v, neigh_u, neigh_v, y_bytes16,
     # Per-sub-block edge replication (ToPixels copies the last in-image
     # byte), via clamped gathers.
     def rep(p):
-        p = jnp.take_along_axis(p, ysel_sub[..., :, None], axis=-2)
-        return jnp.take_along_axis(p, xsel_sub[..., None, :], axis=-1)
+        return edge_replicate(p, ysel_sub, xsel_sub)
 
     rgb = img_ops.ycbcr_to_rgb(rep(ys), rep(us_), rep(vs))
     lin = img_ops.srgb_to_linear(jnp.moveaxis(rgb, 0, -3))
