@@ -107,6 +107,20 @@ def main():
             json.dump(results[tag], f)
         print(json.dumps(results[tag]))
 
+    # 2b. Per-stage compare profile (where do the fused-compare ms go).
+    for tag, geom in (("profile_bees", "444x258"),
+                      ("profile_1mpix", "1332x774")):
+        t0 = time.time()
+        rc, out, err = run([sys.executable, "tools/compare_profile.py",
+                            geom], 3600)
+        line = [ln for ln in out.splitlines() if ln.startswith("{")]
+        results[tag] = {"rc": rc, "wall": round(time.time() - t0, 1),
+                        "json": json.loads(line[-1]) if line else None,
+                        "stderr_tail": err[-400:]}
+        with open("%s_%s.json" % (prefix, tag), "w") as f:
+            json.dump(results[tag], f)
+        print(json.dumps(results[tag]))
+
     # 3. 8 MPix large-image encode (validates the lane-clean
     # blocks_to_plane + HBM-budgeted quant wave OOM fixes).
     t0 = time.time()
@@ -137,9 +151,32 @@ def main():
 
     # 5. LAST (long compile; killing it mid-compile is a suspected tunnel
     # wedge trigger, so everything above must already be banked): Pallas
-    # Mosaic AOT retry of the rank-2-safe tile-compare via the checkcl
-    # harness -- its tile_compare(pallas) row either verifies vs the XLA
-    # path or reports SKIPPED with the Mosaic error.
+    # Mosaic AOT work. First the stage-ladder bisect (pinpoints the op
+    # class Mosaic aborts on -- one window localizes it instead of
+    # re-observing an opaque SIGABRT), then the full checkcl retry only
+    # if the ladder's "full" stage compiled.
+    full_ok = {}
+    for dot_flag in ([], ["--dot"]):
+        t0 = time.time()
+        rc, out, err = run([sys.executable, "tools/pallas_bisect.py"]
+                           + dot_flag, 5400)
+        tag = "bisect_dot%d" % bool(dot_flag)
+        lines = [ln for ln in out.splitlines() if ln.startswith("{")]
+        results[tag] = {"rc": rc, "wall": round(time.time() - t0, 1),
+                        "lines": lines, "stderr_tail": err[-400:]}
+        with open("%s_%s.json" % (prefix, tag), "w") as f:
+            json.dump(results[tag], f)
+        print(json.dumps(results[tag]))
+        try:
+            summary = json.loads(lines[-1]) if lines else {}
+            full_ok[bool(dot_flag)] = summary.get("results", {}).get(
+                "full", False)
+        except Exception:
+            full_ok[bool(dot_flag)] = False
+        if full_ok[bool(dot_flag)]:
+            break
+    if not any(full_ok.values()):
+        return 0
     for dot in ("0", "1"):
         rc, out, err = run(
             [sys.executable, "-m", "guetzli_tpu.cli", "--checkcl",
