@@ -235,17 +235,18 @@ def _batch_throughput(single_out, mpix, batch=4):
     serial encoder, so the parity gates still hold; this is the
     TPU-native serving number -- sequential per-image latency is bounded
     by the host<->device round trip, which batching amortizes."""
-    import os
-
     from guetzli_tpu.parallel.lockstep import encode_corpus_lockstep
 
     with open("/root/reference/tests/bees.png", "rb") as f:
         data = f.read()
     inputs = [("bees%d" % i, data) for i in range(batch)]
-    threads = min(batch, os.cpu_count() or batch)
-    encode_corpus_lockstep(inputs, quality=95, threads=threads)   # warm
+    # One thread per image: the back-end loops are device-round-trip
+    # bound (host work per iteration is ~10% of the RTT), and the
+    # corpus batcher can only coalesce compares whose threads are alive
+    # to dispatch them -- more threads = wider waves, not CPU pressure.
+    encode_corpus_lockstep(inputs, quality=95, threads=batch)   # warm
     t0 = time.time()
-    outs = encode_corpus_lockstep(inputs, quality=95, threads=threads)
+    outs = encode_corpus_lockstep(inputs, quality=95, threads=batch)
     dt = time.time() - t0
     outs = dict(outs) if not isinstance(outs, dict) else outs
     vals = list(outs.values()) if isinstance(outs, dict) else outs

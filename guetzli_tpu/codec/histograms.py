@@ -68,6 +68,18 @@ def ac_symbols(coeffs):
 
 def build_ac_histogram(coeffs) -> np.ndarray:
     h = new_histogram()
+    c = np.asarray(coeffs)
+    if c.dtype == np.int16 and c.ndim == 2 and c.shape[1] == 64:
+        from guetzli_tpu import native
+        lib = native.get_lib()
+        if lib is not None:
+            import ctypes
+            cc = np.ascontiguousarray(c)
+            lib.gt_ac_histogram(
+                cc.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                ctypes.c_int64(cc.shape[0]),
+                h.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            return h
     symbols, f0, eob = ac_symbols(coeffs)
     h[:256] += 2 * np.bincount(symbols, minlength=256).astype(np.int64)
     h[0xf0] += 2 * f0

@@ -54,5 +54,7 @@ def get_lib():
     lib.gt_backend_flips.restype = ctypes.c_int64
     lib.gt_png_dims.restype = ctypes.c_int64
     lib.gt_png_decode.restype = ctypes.c_int64
+    lib.gt_quantize_blocks.restype = ctypes.c_int64
+    lib.gt_ac_histogram.restype = ctypes.c_int64
     _lib = lib
     return _lib

@@ -659,4 +659,36 @@ int64_t gt_backend_flips(
   return est;
 }
 
+// search/state.quantize (guetzli/quantize.h): round every coefficient of
+// [nb, 64] blocks to the nearest multiple of quant[64], C truncation.
+// In place; the numpy form costs ~0.1 s/MPix per accepted quant trial.
+int64_t gt_quantize_blocks(int32_t* coeffs, const int32_t* quant,
+                           int64_t nb) {
+  for (int64_t b = 0; b < nb; ++b) {
+    int32_t* c = coeffs + b * 64;
+    for (int k = 0; k < 64; ++k) c[k] = quantize_val(c[k], quant[k]);
+  }
+  return 0;
+}
+
+// codec/histograms.build_ac_histogram on already-quantized natural-order
+// [nb, 64] int16 blocks (UpdateACHistogramForDCTBlock,
+// jpeg_data_writer.cc:188-209): symbols double-counted into hist[257].
+int64_t gt_ac_histogram(const int16_t* coeffs, int64_t nb, int64_t* hist) {
+  for (int64_t b = 0; b < nb; ++b) {
+    const int16_t* c = coeffs + b * 64;
+    int r = 0;
+    for (int k = 1; k < 64; ++k) {
+      int32_t v = c[kNat[k]];
+      if (v == 0) { r++; continue; }
+      while (r > 15) { hist[0xf0] += 2; r -= 16; }
+      int nbits = log2_floor_nonzero((uint32_t)std::abs(v)) + 1;
+      hist[(r << 4) + nbits] += 2;
+      r = 0;
+    }
+    if (r > 0) hist[0] += 2;
+  }
+  return 0;
+}
+
 }  // extern "C"

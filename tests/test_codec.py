@@ -61,3 +61,51 @@ def test_decodable_by_pillow(size):
     data = write_jpeg(jpg, strip_metadata=True)
     im = Image.open(io.BytesIO(data))
     assert im.size == (w, h)
+
+
+def test_native_quantize_blocks_matches_python():
+    """gt_quantize_blocks vs the numpy magnitude form (state.quantize)."""
+    import numpy as np
+
+    from guetzli_tpu import native
+    from guetzli_tpu.search import state as st
+
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(7)
+    c = rng.integers(-4096, 4097, size=(3000, 64), dtype=np.int32)
+    q = rng.integers(1, 255, size=64, dtype=np.int32)
+    got = st.quantize(c, q[None, :])
+    real = native.get_lib
+    native.get_lib = lambda: None
+    try:
+        want = st.quantize(c, q[None, :])
+    finally:
+        native.get_lib = real
+    assert np.array_equal(got, want)
+
+
+def test_native_ac_histogram_matches_python():
+    """gt_ac_histogram vs the vectorized ac_symbols builder."""
+    import numpy as np
+
+    from guetzli_tpu import native
+    from guetzli_tpu.codec import histograms as hg
+
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(11)
+    qc = rng.integers(-1200, 1201, size=(4000, 64)).astype(np.int16)
+    qc[rng.random(qc.shape) < 0.8] = 0
+    qc[:17] = 0                       # all-zero blocks (pure EOB)
+    qc[17:21, 63] = 5                 # blocks ending in a nonzero (no EOB)
+    got = hg.build_ac_histogram(qc)
+    real = native.get_lib
+    native.get_lib = lambda: None
+    try:
+        want = hg.build_ac_histogram(qc)
+    finally:
+        native.get_lib = real
+    assert np.array_equal(got, want)
