@@ -159,6 +159,15 @@ def _stage_checks(rgb, w, h):
     got_cb = tile_ops.compare_blocks(f32(xyb0_tiles), f32(cand_lin),
                                      f32(scales))
     total += _report(f"CompareBlock[{nb} blocks]", got_cb, want_cb)
+
+    # Stage: the lane-major (tiles-last) evaluation of the same blocks
+    # (ops/tiles_lanes.py, the zeroing loop's default device program).
+    from guetzli_tpu.ops import tiles_lanes as tl
+    aux_t = tl.transpose_aux_444(f32(xyb0_tiles), f32(scales),
+                                 jnp.asarray(ysel[:nb]),
+                                 jnp.asarray(xsel[:nb]))
+    got_lanes = tl.compare_blocks_lanes444(jnp.asarray(cand), *aux_t)
+    total += _report(f"CompareBlockLanes[{nb} blocks]", got_lanes, want_cb)
     return total
 
 

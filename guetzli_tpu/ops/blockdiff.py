@@ -66,13 +66,57 @@ def interpolate_clamp_negative(lut, s):
     return interpolate(lut, jnp.maximum(s, 0.0))
 
 
+def _pw_progression(off, inc, s):
+    """interpolate() against a 21-entry arithmetic-progression LUT
+    (consts._cumulative_lut: lut[0]=0, lut[1]=off, lut[i]=off+(i-1)*inc),
+    in closed form: ~4 vector ops instead of a 21-wide one-hot
+    contraction. Equal to the LUT read up to f32 rounding (the LUT
+    accumulates in float64 then rounds; this evaluates off+(ix-1)*inc
+    directly)."""
+    off = np.float32(off)
+    inc = np.float32(inc)
+    ix = jnp.abs(s)
+    if off:
+        res = jnp.where(ix < 1.0, ix * off,
+                        jnp.minimum(off + (ix - 1.0) * inc,
+                                    off + np.float32(19.0) * inc))
+    else:
+        res = jnp.minimum(ix * inc, np.float32(20.0) * inc)
+    return jnp.where(s < 0, -res, res)
+
+
+def _use_exact_lut():
+    import os
+    return os.environ.get("GUETZLI_TPU_EXACT_LUT") == "1"
+
+
+def color_diff_dy_hf(s):
+    """HF_COLOR_DIFF_DY read (butteraugli.cc:200-211)."""
+    if _use_exact_lut():
+        return interpolate(consts.HF_COLOR_DIFF_DY, s)
+    return _pw_progression(1.4103373714040413, 0.7084088867024, s)
+
+
+def color_diff_dx_hf(s):
+    """HF_COLOR_DIFF_DX read (butteraugli.cc:213-224)."""
+    if _use_exact_lut():
+        return interpolate(consts.HF_COLOR_DIFF_DX, s)
+    return _pw_progression(11.38708334481672, 14.550189611520716, s)
+
+
+def color_diff_dy_lf(s):
+    """LF_COLOR_DIFF_DY read (butteraugli.cc:236-247)."""
+    if _use_exact_lut():
+        return interpolate(consts.LF_COLOR_DIFF_DY, s)
+    return _pw_progression(0.0, 5.2511644570349185, s)
+
+
 def xyb_low_freq_to_vals(x, y, z):
     """butteraugli.cc:305-315."""
     z = z + np.float32(consts.XYB_LF_Y_TO_Z) * y
     valz = z * np.float32(consts.XYB_LF_ZMUL)
     valx = x * np.float32(consts.XYB_LF_XMUL)
-    valy = interpolate(consts.LF_COLOR_DIFF_DY,
-                       y * np.float32(consts.XYB_LF_YMUL))
+    valy = color_diff_dy_lf(y * np.float32(consts.XYB_LF_YMUL))
     return valx, valy, valz
 
 
@@ -98,6 +142,23 @@ def fft8x8_squared(blocks):
     a = jnp.swapaxes(blocks, -1, -2)  # [..., x, y]
     lead = a.shape[:-2]
     n = int(np.prod(lead)) if lead else 1
+    if jax.default_backend() == "cpu":
+        # Batch-size-independent form: per-block 8x8 dots. The big-matmul
+        # form below rounds differently per free-dim size on the CPU
+        # backend (Eigen picks FMA vs mul+add GEMM kernels by shape),
+        # which would break the byte-identity contracts (lockstep corpus
+        # == serial, combined zeroing == separate) that the CPU test
+        # suite pins. On TPU the MXU accumulates each output element in a
+        # fixed order regardless of the free dim, so the faster fused
+        # form is deterministic there.
+        t1r = jnp.einsum('ux,...xy->...uy', wr, a, precision=_HI)
+        t1i = jnp.einsum('ux,...xy->...uy', wi, a, precision=_HI)
+        gr = (jnp.einsum('vy,...uy->...uv', wr, t1r, precision=_HI)
+              - jnp.einsum('vy,...uy->...uv', wi, t1i, precision=_HI))
+        gi = (jnp.einsum('vy,...uy->...uv', wi, t1r, precision=_HI)
+              + jnp.einsum('vy,...uy->...uv', wr, t1i, precision=_HI))
+        sq = gr * gr + gi * gi
+        return sq.reshape(lead + (64,)) * np.float32(consts.FFT_GLOBAL_MUL)
     a_x = a.reshape(n, 8, 8).transpose(1, 0, 2).reshape(8, n * 8)
     t1r = jnp.matmul(wr, a_x, precision=_HI).reshape(8 * n, 8)
     t1i = jnp.matmul(wi, a_x, precision=_HI).reshape(8 * n, 8)
@@ -170,8 +231,8 @@ def block_diff(b0, b1):
     y1 = _remove_range_around_zero(ya + yh,
                                    np.float32(consts.BLOCKDIFF_Y_LIMIT))
     ymul2 = np.float32(consts.BLOCKDIFF_AC_YMUL2)
-    valy0 = interpolate(consts.HF_COLOR_DIFF_DY, y0 * ymul2)
-    valy1 = interpolate(consts.HF_COLOR_DIFF_DY, y1 * ymul2)
+    valy0 = color_diff_dy_hf(y0 * ymul2)
+    valy1 = color_diff_dy_hf(y1 * ymul2)
     valy = np.float32(consts.BLOCKDIFF_AC_YMUL) * (valy0 - valy1)
     ac_y = jnp.sum(d * valy * valy, axis=-1)
 

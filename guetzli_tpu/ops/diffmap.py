@@ -208,10 +208,8 @@ def diff_precompute(xyb0, xyb1):
     """butteraugli.cc:1440-1493 -> [3, H, W]."""
     def vals(d):
         # d: [3, H, W] neighbor difference
-        vx = bd.interpolate(consts.HF_COLOR_DIFF_DX,
-                            d[0] * np.float32(consts.XYB_HF_XMUL))
-        vy = bd.interpolate(consts.HF_COLOR_DIFF_DY,
-                            d[1] * np.float32(consts.XYB_HF_YMUL))
+        vx = bd.color_diff_dx_hf(d[0] * np.float32(consts.XYB_HF_XMUL))
+        vy = bd.color_diff_dy_hf(d[1] * np.float32(consts.XYB_HF_YMUL))
         vz = d[2] * np.float32(consts.XYB_HF_ZMUL)
         return jnp.stack([vx, vy, vz])
 
@@ -574,10 +572,8 @@ def diff_precompute_dyn(xyb0, xyb1, w, h):
     col = jnp.arange(wp, dtype=jnp.int32)[None, None, :]
 
     def vals(d):
-        vx = bd.interpolate(consts.HF_COLOR_DIFF_DX,
-                            d[0] * np.float32(consts.XYB_HF_XMUL))
-        vy = bd.interpolate(consts.HF_COLOR_DIFF_DY,
-                            d[1] * np.float32(consts.XYB_HF_YMUL))
+        vx = bd.color_diff_dx_hf(d[0] * np.float32(consts.XYB_HF_XMUL))
+        vy = bd.color_diff_dy_hf(d[1] * np.float32(consts.XYB_HF_YMUL))
         vz = d[2] * np.float32(consts.XYB_HF_ZMUL)
         return jnp.stack([vx, vy, vz])
 

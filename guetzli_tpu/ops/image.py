@@ -85,16 +85,25 @@ def ycbcr_to_rgb(y, cb, cr):
 
 
 def srgb_to_linear(rgb_int):
-    """uint8-range ints -> linear float via the 256-entry LUT.
+    """uint8-range ints -> linear float (gamma_correct.cc:23-33).
 
-    The read is a two-level factored one-hot contraction (16x16) instead
-    of a gather: per-element gathers serialize on the TPU scalar core,
-    while the contraction is one [N, 16] x [16, 16] MXU matmul plus a
-    vectorized select -- exact, since each output sums a single
-    1.0 * value term (the rest are 0.0 * value) at HIGHEST precision."""
+    Default: the arithmetic form of the 256-entry LUT -- the linear
+    segment below 11 and the 2.4-power above, ~6 vector ops per element
+    (the power is one VPU transcendental), within ~1e-6 relative of the
+    float64-built table. GUETZLI_TPU_EXACT_LUT=1 restores the exact
+    factored one-hot table read (a [N, 16] x [16, 16] contraction --
+    gathers would serialize on the TPU scalar core)."""
+    import os
+    ix = rgb_int.astype(jnp.int32)
+    if os.environ.get("GUETZLI_TPU_EXACT_LUT") != "1":
+        vf = ix.astype(jnp.float32)
+        lo = vf * np.float32(1.0 / 12.92)
+        hi = np.float32(255.0) * (
+            (vf * np.float32(1.0 / 255.0) + np.float32(0.055))
+            * np.float32(1.0 / 1.055)) ** np.float32(2.4)
+        return jnp.where(ix < 11, lo, hi)
     lut = jnp.asarray(consts.SRGB_TO_LINEAR.astype(np.float32)
                       .reshape(16, 16))
-    ix = rgb_int.astype(jnp.int32)
     i16 = jnp.arange(16, dtype=jnp.int32)
     oh_hi = (jnp.right_shift(ix, 4)[..., None] == i16).astype(jnp.float32)
     sub = jnp.einsum('...a,ab->...b', oh_hi, lut,

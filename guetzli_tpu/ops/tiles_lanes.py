@@ -1,0 +1,290 @@
+"""Lane-major (tiles-last) variant of the per-block compare pipeline.
+
+The standard tile path (ops/tiles.py) batches [N, 3, 8, 8] tiles: on TPU
+the minor (8, 8) dims map to (sublanes, lanes), so each vector tile holds
+8 of 128 lanes -- 16x wasted vector work and memory for every elementwise
+op in the chain. Here the SAME math runs on [3, 8, 8, N] arrays (blocks in
+lanes, like the reference GPU kernel's one-work-item-per-block SIMD,
+clguetzli.cl:752-879): every elementwise op is fully lane-utilized and the
+8-point contractions (IDCT, opsin blur, DFT) become small dot_generals
+with N as the free minor dimension.
+
+Numerics: same operation sequence as ops/tiles.py up to reduction
+reassociation and the closed-form LUT reads (ops/image.srgb_to_linear
+default, blockdiff color_diff_*), i.e. ~1e-6-relative drift -- inside the
+encoder's validation band (tests assert size within 2% + distance at
+target; see tests/test_tiles_lanes.py for the direct cross-check).
+
+Used by the zeroing greedy loop (search/zeroing.py mode '444l') where the
+candidate evaluation is the hot device program; enabled by default, opt
+out with GUETZLI_TPU_LANES=0.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from guetzli_tpu import consts
+from guetzli_tpu.ops import blockdiff as bd
+from guetzli_tpu.ops.blur import blur_matrix
+from guetzli_tpu.ops.opsin import gamma
+
+_HI = jax.lax.Precision.HIGHEST
+_IDCT = consts.IDCT_MATRIX.astype(np.int32)
+_BLOCK_EDGE_W = np.float32(consts.BLOCK_EDGE_WEIGHT)
+
+
+def _mat_axis(mat, x, axis, np_dtype):
+    """out[..., i, ...] = sum_j mat[i, j] * x[..., j, ...] contracting
+    `axis` of x, unrolled into scalar-constant FMAs on [..., N] slices.
+
+    A dot_general here would be batch-size-dependent in its rounding (the
+    backend picks different GEMM kernels for different free dims, FMA vs
+    mul+add), breaking the lockstep-corpus == serial byte-identity
+    contract; the unrolled fixed-order form rounds identically per lane
+    at every batch size."""
+    m = np.asarray(mat, dtype=np_dtype)
+    xs = [jax.lax.index_in_dim(x, j, axis, keepdims=False)
+          for j in range(8)]
+    if np_dtype == np.float32:
+        xs = [v.astype(jnp.float32) for v in xs]
+    parts = []
+    for i in range(8):
+        acc = m[i][0] * xs[0]
+        for j in range(1, 8):
+            acc = acc + m[i][j] * xs[j]
+        parts.append(acc)
+    return jnp.stack(parts, axis=axis if axis >= 0 else x.ndim + axis)
+
+
+def _np_dtype(x, dtype):
+    if dtype is not None:
+        return np.int32 if dtype == jnp.int32 else np.float32
+    return np.int32 if x.dtype == jnp.int32 else np.float32
+
+
+def _mat_y(mat, x, dtype=None):
+    """Contract the -3rd (y-like) axis of [..., 8, 8, N]."""
+    return _mat_axis(mat, x, -3, _np_dtype(x, dtype))
+
+
+def _mat_x(mat, x, dtype=None):
+    """Contract the -2nd (x-like) axis of [..., 8, 8, N]."""
+    return _mat_axis(mat, x, -2, _np_dtype(x, dtype))
+
+
+def idct_lanes(c):
+    """Integer IDCT of [..., 8(u), 8(x), N] int32 coefficient tiles
+    (ComputeBlockIDCT, idct.cc:139-161), tiles-last."""
+    col = _mat_y(_IDCT, c.astype(jnp.int32))
+    col = (col + (1 << 10)) >> 11
+    row = _mat_x(_IDCT, col)
+    row = (row + (257 << 17)) >> 18
+    return jnp.clip(row, 0, 255)
+
+
+def edge_replicate_lanes(v, ymax, xmax):
+    """ToPixels right/bottom edge replication (output_image.cc:86-97) on
+    [..., 8, 8, N] tiles with per-tile clamp maxima [N]."""
+    f = v
+    # Row replication: rows past ymax copy row ymax.
+    rows = [f[..., i, :, :] for i in range(8)]
+    edge_row = rows[0] * (ymax == 0)
+    for i in range(1, 8):
+        edge_row = edge_row + rows[i] * (ymax == i)
+    out_rows = [jnp.where(ymax >= i, rows[i], edge_row) for i in range(8)]
+    f = jnp.stack(out_rows, axis=-3)
+    cols = [f[..., :, i, :] for i in range(8)]
+    edge_col = cols[0] * (xmax == 0)
+    for i in range(1, 8):
+        edge_col = edge_col + cols[i] * (xmax == i)
+    out_cols = [jnp.where(xmax >= i, cols[i], edge_col) for i in range(8)]
+    return jnp.stack(out_cols, axis=-2)
+
+
+def _srgb_to_linear_lanes(v):
+    """Arithmetic form of the 256-entry LUT (gamma_correct.cc:23-33);
+    axis-agnostic (same form as ops/image.srgb_to_linear default)."""
+    vf = v.astype(jnp.float32)
+    lo = vf * np.float32(1.0 / 12.92)
+    hi = np.float32(255.0) * (
+        (vf * np.float32(1.0 / 255.0) + np.float32(0.055))
+        * np.float32(1.0 / 1.055)) ** np.float32(2.4)
+    return jnp.where(v < 11, lo, hi)
+
+
+def opsin_blocks_lanes(rgb):
+    """Per-tile opsin of [3, 8, 8, N] linear RGB (OpsinDynamicsImage at
+    8x8, butteraugli_comparator.cc:85-111), tiles-last."""
+    bm = blur_matrix(8, consts.OPSIN_SIGMA, 0.0)
+    blurred = _mat_x(bm, _mat_y(bm, rgb, jnp.float32), jnp.float32)
+
+    mix = consts.OPSIN_MIX.astype(np.float32)
+    bias = consts.OPSIN_BIAS.astype(np.float32)
+
+    def absorbance(x):
+        return jnp.stack(
+            [np.float32(mix[c][0]) * x[0] + np.float32(mix[c][1]) * x[1]
+             + np.float32(mix[c][2]) * x[2] + np.float32(bias[c])
+             for c in range(3)], axis=0)
+
+    pre = absorbance(blurred)
+    sensitivity = gamma(pre) / pre
+    cur = absorbance(rgb) * sensitivity
+    xyb = consts.RGB_TO_XYB.astype(np.float32)
+    return jnp.stack(
+        [np.float32(xyb[c][0]) * cur[0] + np.float32(xyb[c][1]) * cur[1]
+         + np.float32(xyb[c][2]) * cur[2] for c in range(3)], axis=0)
+
+
+def mhic_lanes(t0, t1):
+    """MaskHighIntensityChange confined to [3, 8, 8, N] tiles
+    (butteraugli.cc:791, xsize=ysize=8), tiles-last."""
+    ave = (t0 + t1) * 0.5
+    y = ave[1]                                     # [8, 8, N]
+    big = np.float32(-1.0)
+    valid_l = np.ones((8, 8, 1), bool); valid_l[:, 0] = False
+    valid_r = np.ones((8, 8, 1), bool); valid_r[:, -1] = False
+    valid_u = np.ones((8, 8, 1), bool); valid_u[0, :] = False
+    valid_d = np.ones((8, 8, 1), bool); valid_d[-1, :] = False
+
+    def sq_shift(dy, dx, valid):
+        shifted = jnp.roll(jnp.roll(y, -dy, axis=0), -dx, axis=1)
+        d = shifted - y
+        return jnp.where(jnp.asarray(valid), d * d, big)
+
+    sqr_max = jnp.maximum(
+        jnp.maximum(sq_shift(0, -1, valid_l), sq_shift(0, 1, valid_r)),
+        jnp.maximum(sq_shift(-1, 0, valid_u), sq_shift(1, 0, valid_d)))
+
+    red = consts.MHIC_REDUCTION.astype(np.float32)
+    chroma = np.float32(consts.MHIC_CHROMA_BALANCE)
+    chroma_scale = chroma / (y + chroma)
+    mix = jnp.stack([
+        chroma_scale * np.float32(red[0]) / (sqr_max + np.float32(red[0])),
+        np.float32(red[1]) / (sqr_max + np.float32(red[1])),
+        chroma_scale * np.float32(red[2]) / (sqr_max + np.float32(red[2])),
+    ], axis=0)
+    return mix * t0 + (1.0 - mix) * ave, mix * t1 + (1.0 - mix) * ave
+
+
+_CSF64 = np.zeros((8, 8, 1), dtype=np.float32)
+_CSF64.ravel()[:37] = consts.CSF8X8.astype(np.float32)
+_CSF_MASK = np.zeros((8, 8, 1), dtype=np.float32)
+_CSF_MASK.ravel()[4:37] = 1.0
+# CSF indexed [xfreq*8 + yfreq], matching the [xf, yf, N] fft output
+# (row-major flattening of the leading (8, 8) is exactly that order).
+_CSF_D = np.ascontiguousarray(_CSF64 * _CSF_MASK)
+
+
+def _fft8_sq_lanes(x):
+    """|2-D DFT|^2 of real [8(y), 8(x), N] -> [8(xf), 8(yf), N] with the
+    global scale (ButteraugliFFTSquared, butteraugli.cc:574-597)."""
+    a = jnp.swapaxes(x, 0, 1)                      # [x, y, N]
+    t1r = _mat_y(bd.DFT8_RE, a, jnp.float32)       # over x
+    t1i = _mat_y(bd.DFT8_IM, a, jnp.float32)
+    gr = _mat_x(bd.DFT8_RE, t1r, jnp.float32) \
+        - _mat_x(bd.DFT8_IM, t1i, jnp.float32)
+    gi = _mat_x(bd.DFT8_IM, t1r, jnp.float32) \
+        + _mat_x(bd.DFT8_RE, t1i, jnp.float32)
+    return (gr * gr + gi * gi) * np.float32(consts.FFT_GLOBAL_MUL)
+
+
+def block_diff_lanes(b0, b1):
+    """ButteraugliBlockDiff (butteraugli.cc:602-684) on [3, 8, 8, N]
+    tiles-last pairs -> (diff_dc, diff_ac, diff_edge), each [3, N]."""
+    csf0 = np.float32(consts.CSF8X8[0])
+    diff = b0 - b1                                 # [3, 8, 8, N]
+
+    avg = jnp.mean(jnp.mean(diff, axis=1), axis=1)  # [3, N]
+    dcx, dcy, dcz = bd.xyb_diff_low_freq_squared(avg[0], avg[1], avg[2])
+    diff_dc = jnp.stack([dcx, dcy, dcz], axis=0) * csf0
+
+    edges = jnp.stack([
+        jnp.mean(diff[:, :, 0, :], axis=1),
+        jnp.mean(diff[:, 0, :, :], axis=1),
+        jnp.mean(diff[:, :, 7, :], axis=1),
+        jnp.mean(diff[:, 7, :, :], axis=1),
+    ], axis=1)                                     # [3, 4, N]
+    ex, ey, ez = bd.xyb_diff_low_freq_squared(edges[0], edges[1],
+                                              edges[2])
+    diff_edge = jnp.stack([ex.sum(0), ey.sum(0), ez.sum(0)],
+                          axis=0) * csf0           # [3, N]
+
+    bavg = (b0 + b1) * 0.5
+    bhd = (b0 - b1) * 0.5
+    y_avg = _fft8_sq_lanes(bavg[1])
+    x_hd = _fft8_sq_lanes(bhd[0])
+    y_hd = _fft8_sq_lanes(bhd[1])
+    z_hd = _fft8_sq_lanes(bhd[2])
+
+    d = jnp.asarray(_CSF_D)
+
+    def wsum(x):                                   # [8, 8, N] -> [N]
+        return jnp.sum(jnp.sum(d * x, axis=0), axis=0)
+
+    ac_x = wsum(x_hd) * np.float32(consts.BLOCKDIFF_AC_XMUL)
+    ac_z = wsum(z_hd) * np.float32(consts.BLOCKDIFF_AC_ZMUL)
+
+    rng = np.float32(consts.BLOCKDIFF_Y_LIMIT)
+    ya = jnp.sqrt(y_avg)
+    yh = jnp.sqrt(y_hd)
+    y0 = bd._remove_range_around_zero(ya - yh, rng)
+    y1 = bd._remove_range_around_zero(ya + yh, rng)
+    ymul2 = np.float32(consts.BLOCKDIFF_AC_YMUL2)
+    valy0 = bd.color_diff_dy_hf(y0 * ymul2)
+    valy1 = bd.color_diff_dy_hf(y1 * ymul2)
+    valy = np.float32(consts.BLOCKDIFF_AC_YMUL) * (valy0 - valy1)
+    ac_y = wsum(valy * valy)
+
+    diff_ac = jnp.stack([ac_x, ac_y, ac_z], axis=0)
+    return diff_dc, diff_ac, diff_edge
+
+
+def compare_blocks_lanes444(cand, xyb0_t, scales_t, ymax, xmax):
+    """Batched CompareBlock (butteraugli_comparator.cc:113-163) in the
+    tiles-last layout.
+
+    Args:
+      cand: [N, 3, 64] int32 dequantized candidate coefficients (the
+        zeroing loop's native ordering; transposed once here).
+      xyb0_t: [3, 8, 8, N] float32 original opsin tiles (pre-transposed
+        frozen pass state).
+      scales_t: [3, N] float32 whole-image mask values.
+      ymax, xmax: [N] int32 per-tile edge-replication clamp maxima.
+    Returns [N] float32 block errors.
+    """
+    ct = jnp.transpose(cand.reshape(-1, 3, 8, 8), (1, 2, 3, 0))
+    v = idct_lanes(ct)                             # [3, 8, 8, N] bytes
+    v = edge_replicate_lanes(v, ymax, xmax)
+
+    # YCbCr -> RGB (color_transform.h), integer.
+    yy = v[0]
+    cb = v[1] - 128
+    cr = v[2] - 128
+    r = yy + ((91881 * cr + 32768) >> 16)
+    b = yy + ((116130 * cb + 32768) >> 16)
+    g = yy + (((-46802) * cr + (-22554) * cb + 32768) >> 16)
+    rgb = jnp.clip(jnp.stack([r, g, b], axis=0), 0, 255)
+
+    lin = _srgb_to_linear_lanes(rgb)
+    xyb1 = opsin_blocks_lanes(lin)
+    m0, m1 = mhic_lanes(xyb0_t, xyb1)
+    dc, ac, edge = block_diff_lanes(m0, m1)
+
+    diff = jnp.sum((dc + ac) * scales_t, axis=0)   # [N]
+    diff_edge = jnp.sum(edge * scales_t, axis=0)
+    return jnp.sqrt((1.0 - _BLOCK_EDGE_W) * diff
+                    + _BLOCK_EDGE_W * diff_edge)
+
+
+def transpose_aux_444(xyb0_tiles, scales, ysel, xsel):
+    """Frozen 444 pass state -> tiles-last form: [N, 3, 64] opsin tiles to
+    [3, 8, 8, N], [N, 3] scales to [3, N], [N, 8] clamped index vectors to
+    their [N] maxima (the vectors encode a single min(i, max) clamp)."""
+    x0 = jnp.transpose(
+        jnp.reshape(xyb0_tiles, (-1, 3, 8, 8)), (1, 2, 3, 0))
+    sc = jnp.transpose(jnp.asarray(scales), (1, 0))
+    ymax = jnp.asarray(ysel)[:, 7].astype(jnp.int32)
+    xmax = jnp.asarray(xsel)[:, 7].astype(jnp.int32)
+    return x0, sc, ymax, xmax

@@ -417,6 +417,10 @@ class Processor:
                                                 np.asarray(xsel))
                 return "444p", (xyb0_tiles, scales, jnp.asarray(sy),
                                 jnp.asarray(sx))
+            if os.environ.get("GUETZLI_TPU_LANES", "1") != "0":
+                # Lane-major evaluation (ops/tiles_lanes.py): same aux
+                # arrays; the zeroing stage transposes them once.
+                return "444l", (xyb0_tiles, scales, ysel, xsel)
             return "444", (xyb0_tiles, scales, ysel, xsel)
         if comp_mask == 1:
             chroma_bytes = self.comparator.frozen_chroma_blocks(img)

@@ -59,8 +59,13 @@ def _eval_dispatch(mode, cand, aux, lookahead):
     """Evaluate candidate tiles [NB*L, 3, 64] under the pass's frozen
     state `aux` (a tuple of device arrays, PRE-REPEATED to the candidate
     axis by _rep_aux -- hoisting the repeat out of the greedy loop).
-    `mode` is static: '444', '444p' (fused Pallas kernel), '420y', or
-    '420c'."""
+    `mode` is static: '444l' (lane-major, the default), '444', '444p'
+    (fused Pallas kernel), '420y', or '420c'."""
+    if mode == "444l":
+        # Tiles-last evaluation (ops/tiles_lanes.py): aux was transposed
+        # once per stage by _rep_aux.
+        from guetzli_tpu.ops import tiles_lanes as tl
+        return tl.compare_blocks_lanes444(cand, *aux)
     if mode == "444":
         xyb0_tiles, scales, ysel, xsel = aux
         lin = tile_ops.tiles_to_linear_rgb(cand, xsel, ysel)
@@ -84,9 +89,16 @@ def _eval_dispatch(mode, cand, aux, lookahead):
     raise ValueError(mode)
 
 
-def _rep_aux(aux, lookahead):
+def _rep_aux(aux, lookahead, mode=None):
     """Repeat every frozen-state array to the [NB * L] candidate axis,
-    once, outside the greedy loop."""
+    once, outside the greedy loop. The staged driver keeps aux in the
+    standard blocks-leading layout (its permute/compact steps index axis
+    0); for the lane-major mode the transpose to tiles-last happens here,
+    also once per stage program."""
+    if mode == "444l":
+        from guetzli_tpu.ops import tiles_lanes as tl
+        aux = tl.transpose_aux_444(*aux)
+        return tuple(jnp.repeat(a, lookahead, axis=-1) for a in aux)
     return tuple(jnp.repeat(a, lookahead, axis=0) for a in aux)
 
 
@@ -100,7 +112,7 @@ def _zeroing_stage(state, limit, aux, mode, comp_mask, lookahead,
     out_idx [S,K], out_err [S,K], t); see compute_zeroing_order_with.
     """
     nb = state[0].shape[0]
-    aux_rep = _rep_aux(aux, lookahead)
+    aux_rep = _rep_aux(aux, lookahead, mode)
 
     def eval_batch(cand):
         return _eval_dispatch(mode, cand, aux_rep, lookahead)
@@ -290,7 +302,7 @@ def compute_zeroing_order_with(blocks, orig_blocks, limit, aux, mode,
       num     [NB] int32 entries below the error limit (candidate counts).
     """
     nb = blocks.shape[0]
-    aux_rep = _rep_aux(aux, lookahead)
+    aux_rep = _rep_aux(aux, lookahead, mode)
 
     def eval_batch(cand):
         return _eval_dispatch(mode, cand, aux_rep, lookahead)

@@ -1,0 +1,78 @@
+"""Lane-major tile compare (ops/tiles_lanes.py) vs the standard path.
+
+The two paths compute the same math in different layouts (tiles-last vs
+tiles-leading) with reassociated reductions and the closed-form LUT reads,
+so errors agree to float32 tolerance, not bitwise.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tests.conftest import FIXTURES
+
+
+@pytest.fixture(scope="module")
+def block_state():
+    from guetzli_tpu import consts
+    from guetzli_tpu.codec.encoder import encode_rgb_to_jpeg
+    from guetzli_tpu.comparator import Comparator
+    from guetzli_tpu.io.png import read_png
+    from guetzli_tpu.search import state as st
+
+    with open(FIXTURES / "bees96x64.png", "rb") as f:
+        rgb, w, h = read_png(f.read())
+    target = consts.butteraugli_score_for_quality(95)
+    comp = Comparator(rgb, w, h, target)
+    jpg = encode_rgb_to_jpeg(rgb, w, h)
+    st.remove_original_quantization(jpg)
+    img = st.CoeffImage.from_jpeg(jpg)
+    comp.compare(np.stack([c.coeffs for c in img.comps], 0),
+                 img.bw, img.bh)
+    comp.start_block_comparisons()
+    xyb0_tiles, scales, ysel, xsel = comp.block_state(1, 1)
+    g = comp.geom
+    if g is not None:
+        cand = g.pad_blocks(img.coeffs, img.bw, img.bh, g.bwp, g.bhp)
+    else:
+        cand = img.coeffs
+    cand = jnp.asarray(np.asarray(cand).transpose(1, 0, 2))  # [N, 3, 64]
+    return cand, xyb0_tiles, scales, ysel, xsel
+
+
+def test_lanes_matches_standard(block_state):
+    from guetzli_tpu.ops import tiles as tile_ops
+    from guetzli_tpu.ops import tiles_lanes as tl
+
+    cand, xyb0_tiles, scales, ysel, xsel = block_state
+
+    lin = tile_ops.tiles_to_linear_rgb(cand, xsel, ysel)
+    want = np.asarray(tile_ops.compare_blocks(xyb0_tiles, lin, scales))
+
+    aux_t = tl.transpose_aux_444(xyb0_tiles, scales, ysel, xsel)
+    got = np.asarray(tl.compare_blocks_lanes444(cand, *aux_t))
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
+
+
+def test_lanes_zeroed_candidates(block_state):
+    """Same check on perturbed candidates (zeroed coefficients), the
+    zeroing loop's actual inputs."""
+    from guetzli_tpu.ops import tiles as tile_ops
+    from guetzli_tpu.ops import tiles_lanes as tl
+
+    cand, xyb0_tiles, scales, ysel, xsel = block_state
+    c = np.asarray(cand).copy()
+    rng = np.random.default_rng(3)
+    mask = rng.random(c.shape) < 0.4
+    mask[:, :, 0] = False
+    c[mask] = 0
+    cand = jnp.asarray(c)
+
+    lin = tile_ops.tiles_to_linear_rgb(cand, xsel, ysel)
+    want = np.asarray(tile_ops.compare_blocks(xyb0_tiles, lin, scales))
+    aux_t = tl.transpose_aux_444(xyb0_tiles, scales, ysel, xsel)
+    got = np.asarray(tl.compare_blocks_lanes444(cand, *aux_t))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
