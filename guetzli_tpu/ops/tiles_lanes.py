@@ -241,6 +241,29 @@ def block_diff_lanes(b0, b1):
     return diff_dc, diff_ac, diff_edge
 
 
+def _ycbcr_to_rgb_lanes(yy, cb, cr):
+    """color_transform.h integer YCbCr -> RGB on [8, 8, N] byte planes."""
+    cb = cb - 128
+    cr = cr - 128
+    r = yy + ((91881 * cr + 32768) >> 16)
+    b = yy + ((116130 * cb + 32768) >> 16)
+    g = yy + (((-46802) * cr + (-22554) * cb + 32768) >> 16)
+    return jnp.clip(jnp.stack([r, g, b], axis=0), 0, 255)
+
+
+def _finish_lanes(rgb, xyb0_t, scales_t):
+    """sRGB bytes -> linear -> opsin -> MHIC -> block diff -> weighted
+    scalar error (the shared tail of every CompareBlock mode)."""
+    lin = _srgb_to_linear_lanes(rgb)
+    xyb1 = opsin_blocks_lanes(lin)
+    m0, m1 = mhic_lanes(xyb0_t, xyb1)
+    dc, ac, edge = block_diff_lanes(m0, m1)
+    diff = jnp.sum((dc + ac) * scales_t, axis=0)   # [N]
+    diff_edge = jnp.sum(edge * scales_t, axis=0)
+    return jnp.sqrt((1.0 - _BLOCK_EDGE_W) * diff
+                    + _BLOCK_EDGE_W * diff_edge)
+
+
 def compare_blocks_lanes444(cand, xyb0_t, scales_t, ymax, xmax):
     """Batched CompareBlock (butteraugli_comparator.cc:113-163) in the
     tiles-last layout.
@@ -257,25 +280,30 @@ def compare_blocks_lanes444(cand, xyb0_t, scales_t, ymax, xmax):
     ct = jnp.transpose(cand.reshape(-1, 3, 8, 8), (1, 2, 3, 0))
     v = idct_lanes(ct)                             # [3, 8, 8, N] bytes
     v = edge_replicate_lanes(v, ymax, xmax)
+    rgb = _ycbcr_to_rgb_lanes(v[0], v[1], v[2])
+    return _finish_lanes(rgb, xyb0_t, scales_t)
 
-    # YCbCr -> RGB (color_transform.h), integer.
-    yy = v[0]
-    cb = v[1] - 128
-    cr = v[2] - 128
-    r = yy + ((91881 * cr + 32768) >> 16)
-    b = yy + ((116130 * cb + 32768) >> 16)
-    g = yy + (((-46802) * cr + (-22554) * cb + 32768) >> 16)
-    rgb = jnp.clip(jnp.stack([r, g, b], axis=0), 0, 255)
 
-    lin = _srgb_to_linear_lanes(rgb)
-    xyb1 = opsin_blocks_lanes(lin)
-    m0, m1 = mhic_lanes(xyb0_t, xyb1)
-    dc, ac, edge = block_diff_lanes(m0, m1)
+def compare_blocks_lanes420y(cand_y, chroma_t, xyb0_t, scales_t,
+                             ymax, xmax):
+    """420 Y-pass CompareBlock, tiles-last: candidate Y tiles against
+    frozen upsampled chroma bytes (ops/tiles.compare_blocks_420y twin).
 
-    diff = jnp.sum((dc + ac) * scales_t, axis=0)   # [N]
-    diff_edge = jnp.sum(edge * scales_t, axis=0)
-    return jnp.sqrt((1.0 - _BLOCK_EDGE_W) * diff
-                    + _BLOCK_EDGE_W * diff_edge)
+    cand_y: [N, 64] int32; chroma_t: [2, 8, 8, N] int32 (already
+    edge-replicated); rest as compare_blocks_lanes444.
+    """
+    ct = jnp.transpose(cand_y.reshape(-1, 8, 8), (1, 2, 0))   # [8, 8, N]
+    yv = idct_lanes(ct)
+    yv = edge_replicate_lanes(yv, ymax, xmax)
+    rgb = _ycbcr_to_rgb_lanes(yv, chroma_t[0], chroma_t[1])
+    return _finish_lanes(rgb, xyb0_t, scales_t)
+
+
+def transpose_aux_420y(chroma_bytes, xyb0_tiles, scales, ysel, xsel):
+    """Frozen 420 Y-pass state -> tiles-last: [N, 2, 8, 8] chroma bytes to
+    [2, 8, 8, N] plus the 444 aux transposes."""
+    ch = jnp.transpose(jnp.asarray(chroma_bytes), (1, 2, 3, 0))
+    return (ch,) + transpose_aux_444(xyb0_tiles, scales, ysel, xsel)
 
 
 def transpose_aux_444(xyb0_tiles, scales, ysel, xsel):

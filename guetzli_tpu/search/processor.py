@@ -424,7 +424,9 @@ class Processor:
             return "444", (xyb0_tiles, scales, ysel, xsel)
         if comp_mask == 1:
             chroma_bytes = self.comparator.frozen_chroma_blocks(img)
-            return "420y", (chroma_bytes,) + \
+            mode = "420yl" if os.environ.get(
+                "GUETZLI_TPU_LANES", "1") != "0" else "420y"
+            return mode, (chroma_bytes,) + \
                 self.comparator.block_state(1, 1)
         from guetzli_tpu.ops import upsample as us
         from guetzli_tpu.ops import image as img_ops

@@ -66,6 +66,9 @@ def _eval_dispatch(mode, cand, aux, lookahead):
         # once per stage by _rep_aux.
         from guetzli_tpu.ops import tiles_lanes as tl
         return tl.compare_blocks_lanes444(cand, *aux)
+    if mode == "420yl":
+        from guetzli_tpu.ops import tiles_lanes as tl
+        return tl.compare_blocks_lanes420y(cand[:, 0], *aux)
     if mode == "444":
         xyb0_tiles, scales, ysel, xsel = aux
         lin = tile_ops.tiles_to_linear_rgb(cand, xsel, ysel)
@@ -95,9 +98,11 @@ def _rep_aux(aux, lookahead, mode=None):
     standard blocks-leading layout (its permute/compact steps index axis
     0); for the lane-major mode the transpose to tiles-last happens here,
     also once per stage program."""
-    if mode == "444l":
+    if mode in ("444l", "420yl"):
         from guetzli_tpu.ops import tiles_lanes as tl
-        aux = tl.transpose_aux_444(*aux)
+        tr = tl.transpose_aux_444 if mode == "444l" \
+            else tl.transpose_aux_420y
+        aux = tr(*aux)
         return tuple(jnp.repeat(a, lookahead, axis=-1) for a in aux)
     return tuple(jnp.repeat(a, lookahead, axis=0) for a in aux)
 

@@ -76,3 +76,43 @@ def test_lanes_zeroed_candidates(block_state):
     aux_t = tl.transpose_aux_444(xyb0_tiles, scales, ysel, xsel)
     got = np.asarray(tl.compare_blocks_lanes444(cand, *aux_t))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
+
+
+def test_lanes_420y_matches_standard():
+    """Lane-major 420 Y-pass evaluation vs the standard path on a real
+    force-420 image state."""
+    from guetzli_tpu import consts
+    from guetzli_tpu.codec.encoder import encode_rgb_to_jpeg
+    from guetzli_tpu.comparator import Comparator
+    from guetzli_tpu.io.png import read_png
+    from guetzli_tpu.ops import tiles as tile_ops
+    from guetzli_tpu.ops import tiles_lanes as tl
+    from guetzli_tpu.search import state as st
+
+    with open(FIXTURES / "bees96x64.png", "rb") as f:
+        rgb, w, h = read_png(f.read())
+    target = consts.butteraugli_score_for_quality(95)
+    comp = Comparator(rgb, w, h, target)
+    jpg = encode_rgb_to_jpeg(rgb, w, h)
+    st.remove_original_quantization(jpg)
+    img = st.CoeffImage.from_jpeg(jpg)
+    img.downsample()
+    comp.compare_img(img)
+    comp.start_block_comparisons()
+    chroma_bytes = comp.frozen_chroma_blocks(img)
+    xyb0_tiles, scales, ysel, xsel = comp.block_state(1, 1)
+
+    g = comp.geom
+    yc = img.comps[0].coeffs
+    if g is not None:
+        yc = g.pad_blocks(yc, img.comps[0].bw, img.comps[0].bh,
+                          g.bwp, g.bhp)
+    cand_y = jnp.asarray(np.asarray(yc, dtype=np.int32))
+
+    want = np.asarray(tile_ops.compare_blocks_420y(
+        cand_y, jnp.asarray(chroma_bytes), xyb0_tiles, scales,
+        ysel, xsel))
+    aux_t = tl.transpose_aux_420y(chroma_bytes, xyb0_tiles, scales,
+                                  ysel, xsel)
+    got = np.asarray(tl.compare_blocks_lanes420y(cand_y, *aux_t))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)

@@ -160,6 +160,17 @@ def main():
     out["block_eval"] = {"ms": round(secs * 1e3, 3),
                          "gflops_s": round(bflops / secs / 1e9, 1)}
 
+    # Lane-major evaluation of the same batch (the production zeroing
+    # mode '444l'): the A/B that justifies (or kills) the layout.
+    from guetzli_tpu.ops import tiles_lanes as tl
+    aux_t = tl.transpose_aux_444(targs[1], targs[2], targs[3], targs[4])
+    lfn = jax.jit(tl.compare_blocks_lanes444)
+    secs = timed(lambda: lfn(targs[0], *aux_t))
+    lflops = lfn.lower(targs[0], *aux_t).compile() \
+        .cost_analysis().get("flops", 0.0)
+    out["block_eval_lanes"] = {"ms": round(secs * 1e3, 3),
+                               "gflops_s": round(lflops / secs / 1e9, 1)}
+
     record("t_to_linear", tile_ops.tiles_to_linear_rgb,
            targs[0], targs[4], targs[3])
     lin_t = jax.jit(tile_ops.tiles_to_linear_rgb)(targs[0], targs[4],
