@@ -111,6 +111,26 @@ def color_diff_dy_lf(s):
     return _pw_progression(0.0, 5.2511644570349185, s)
 
 
+def mask_lut(key, s):
+    """Masking LUT read (butteraugli.cc:1242-1254 + Mask :1495-1567).
+
+    The 512-entry tables sample the smooth rational
+    ``(1 + extmul * (mul / (0.01 * scaler * i + offset) + extoff))^2``;
+    the default evaluates it directly at the (clamped) input -- ~6
+    vector ops instead of a two-level factored one-hot read, within
+    ~1e-5 relative of the piecewise-linear table interpolation (the
+    function's curvature over one table step is tiny).
+    GUETZLI_TPU_EXACT_LUT=1 restores the table read."""
+    if _use_exact_lut():
+        return interpolate_clamp_negative(consts.MASK_LUTS[key], s)
+    extmul, extoff, mul, offset, scaler = (
+        np.float32(v) for v in consts.MASK_LUT_PARAMS[key])
+    ix = jnp.clip(s, 0.0, np.float32(511.0))
+    c = mul / (np.float32(0.01) * scaler * ix + offset)
+    v = 1.0 + extmul * (c + extoff)
+    return v * v
+
+
 def xyb_low_freq_to_vals(x, y, z):
     """butteraugli.cc:305-315."""
     z = z + np.float32(consts.XYB_LF_Y_TO_Z) * y

@@ -269,14 +269,14 @@ def mask(xyb0, xyb1):
 
     g2 = np.float32(consts.K_GLOBAL_SCALE * consts.K_GLOBAL_SCALE)
     mask_out = jnp.stack([
-        bd.interpolate_clamp_negative(consts.MASK_LUTS['x'], p[0]),
-        bd.interpolate_clamp_negative(consts.MASK_LUTS['y'], p[1]),
-        bd.interpolate_clamp_negative(consts.MASK_LUTS['b'], p[2]),
+        bd.mask_lut('x', p[0]),
+        bd.mask_lut('y', p[1]),
+        bd.mask_lut('b', p[2]),
     ]) * g2
     mask_dc = jnp.stack([
-        bd.interpolate_clamp_negative(consts.MASK_LUTS['dc_x'], p[0]),
-        bd.interpolate_clamp_negative(consts.MASK_LUTS['dc_y'], p[1]),
-        bd.interpolate_clamp_negative(consts.MASK_LUTS['dc_b'], p[2]),
+        bd.mask_lut('dc_x', p[0]),
+        bd.mask_lut('dc_y', p[1]),
+        bd.mask_lut('dc_b', p[2]),
     ]) * g2
     return mask_out, mask_dc
 
@@ -608,14 +608,14 @@ def mask_dyn(xyb0, xyb1, w, h, sc):
 
     g2 = np.float32(consts.K_GLOBAL_SCALE * consts.K_GLOBAL_SCALE)
     mask_out = jnp.stack([
-        bd.interpolate_clamp_negative(consts.MASK_LUTS['x'], p[0]),
-        bd.interpolate_clamp_negative(consts.MASK_LUTS['y'], p[1]),
-        bd.interpolate_clamp_negative(consts.MASK_LUTS['b'], p[2]),
+        bd.mask_lut('x', p[0]),
+        bd.mask_lut('y', p[1]),
+        bd.mask_lut('b', p[2]),
     ]) * g2
     mask_dc = jnp.stack([
-        bd.interpolate_clamp_negative(consts.MASK_LUTS['dc_x'], p[0]),
-        bd.interpolate_clamp_negative(consts.MASK_LUTS['dc_y'], p[1]),
-        bd.interpolate_clamp_negative(consts.MASK_LUTS['dc_b'], p[2]),
+        bd.mask_lut('dc_x', p[0]),
+        bd.mask_lut('dc_y', p[1]),
+        bd.mask_lut('dc_b', p[2]),
     ]) * g2
     return mask_out, mask_dc
 

@@ -299,6 +299,97 @@ def compare_blocks_lanes420y(cand_y, chroma_t, xyb0_t, scales_t,
     return _finish_lanes(rgb, xyb0_t, scales_t)
 
 
+def _sel_rows(v, idx):
+    """Static row selection [10, ..., N] -> [len(idx), ..., N]: unrolled
+    constant-index slices (a fancy-index would lower to a gather)."""
+    return jnp.stack([v[i] for i in idx], axis=0)
+
+
+def _sel_cols(v, idx):
+    return jnp.stack([v[:, i] for i in idx], axis=1)
+
+
+def upsample_16x16_lanes(neigh):
+    """[10, 10, N] x16 subsampled neighborhoods -> [16, 16, N] x16
+    full-res pixels (ops/upsample.upsample_16x16_from_neighborhood,
+    tiles-last)."""
+    x = np.arange(16)
+    cx = (x >> 1) + 1
+    cx2 = cx + (x & 1) * 2 - 1
+    r1 = _sel_rows(neigh, cx)
+    r2 = _sel_rows(neigh, cx2)
+    s00 = _sel_cols(r1, cx)
+    s01 = _sel_cols(r1, cx2)
+    s10 = _sel_cols(r2, cx)
+    s11 = _sel_cols(r2, cx2)
+    return (9 * s00 + 3 * s01 + 3 * s10 + s11) >> 4
+
+
+def _split16_lanes(p):
+    """[16, 16, N] -> [8, 8, 4N]: the 2x2 sub-block grid folded into the
+    lane axis (order (sub_y, sub_x, n), n fastest)."""
+    n = p.shape[-1]
+    q = p.reshape(2, 8, 2, 8, n)            # (sy, y, sx, x, n)
+    return jnp.transpose(q, (1, 3, 0, 2, 4)).reshape(8, 8, 4 * n)
+
+
+def compare_blocks_lanes420c(cand_u, cand_v, neigh_u_t, neigh_v_t,
+                             y16s, xyb0_s, scales_s, ymax_s, xmax_s,
+                             valid_t):
+    """420 chroma-pass CompareBlock over 16x16 macroblocks, tiles-last
+    (ops/tiles.compare_blocks_420c twin): the 2x2 sub-block grid is
+    folded into the lane axis so the whole evaluation reuses the lane
+    helpers at 4N lanes.
+
+    Args:
+      cand_u, cand_v: [N, 64] int32 candidate chroma coefficients.
+      neigh_u_t, neigh_v_t: [10, 10, N] int32 frozen x16 subsampled
+        planes.
+      y16s: [8, 8, 4N] int32 frozen Y bytes, pre-split per sub-block.
+      xyb0_s: [3, 8, 8, 4N]; scales_s: [3, 4N]; ymax_s, xmax_s: [4N];
+      valid_t: [2, 2, N] bool (sub-block inside the image).
+    Returns [N] max sub-block errors.
+    """
+    def chroma16(cand, neigh_t):
+        v = idct_lanes(jnp.transpose(cand.reshape(-1, 8, 8), (1, 2, 0)))
+        filled = neigh_t.at[1:9, 1:9, :].set(v << 4)
+        return upsample_16x16_lanes(filled)
+
+    u16 = chroma16(cand_u, neigh_u_t)
+    v16 = chroma16(cand_v, neigh_v_t)
+    # ToPixels dither: x = 16*bx + ix, so parity is ix&1 (axis 1 here).
+    dith = jnp.asarray(8 - (np.arange(16) & 1))[None, :, None]
+    ub = _split16_lanes((u16 + dith) >> 4)
+    vb = _split16_lanes((v16 + dith) >> 4)
+
+    rep = lambda p: edge_replicate_lanes(p, ymax_s, xmax_s)  # noqa: E731
+    rgb = _ycbcr_to_rgb_lanes(rep(y16s), rep(ub), rep(vb))
+    errs = _finish_lanes(rgb, xyb0_s, scales_s)              # [4N]
+    errs = errs.reshape(2, 2, -1)
+    errs = jnp.where(valid_t, errs, 0.0)     # max_err starts at 0
+    return jnp.max(jnp.max(errs, axis=0), axis=0)
+
+
+def transpose_aux_420c(neigh_u, neigh_v, y16, xyb0_sub, scales_sub,
+                       ysel_sub, xsel_sub, valid_sub):
+    """Frozen 420 chroma-pass state -> tiles-last, sub-blocks folded into
+    lanes (order (sub_y, sub_x, n))."""
+    n = jnp.asarray(neigh_u).shape[0]
+    nu = jnp.transpose(jnp.asarray(neigh_u), (1, 2, 0))
+    nv = jnp.transpose(jnp.asarray(neigh_v), (1, 2, 0))
+    y16s = _split16_lanes(jnp.transpose(jnp.asarray(y16), (1, 2, 0)))
+    x0 = jnp.asarray(xyb0_sub).reshape(n, 2, 2, 3, 8, 8)
+    x0 = jnp.transpose(x0, (3, 4, 5, 1, 2, 0)).reshape(3, 8, 8, 4 * n)
+    sc = jnp.transpose(jnp.asarray(scales_sub), (3, 1, 2, 0)) \
+        .reshape(3, 4 * n)
+    ymax = jnp.transpose(jnp.asarray(ysel_sub)[..., 7], (1, 2, 0)) \
+        .reshape(4 * n).astype(jnp.int32)
+    xmax = jnp.transpose(jnp.asarray(xsel_sub)[..., 7], (1, 2, 0)) \
+        .reshape(4 * n).astype(jnp.int32)
+    valid = jnp.transpose(jnp.asarray(valid_sub), (1, 2, 0))
+    return nu, nv, y16s, x0, sc, ymax, xmax, valid
+
+
 def transpose_aux_420y(chroma_bytes, xyb0_tiles, scales, ysel, xsel):
     """Frozen 420 Y-pass state -> tiles-last: [N, 2, 8, 8] chroma bytes to
     [2, 8, 8, N] plus the 444 aux transposes."""

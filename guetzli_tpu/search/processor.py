@@ -450,8 +450,10 @@ class Processor:
             subs.append(neigh)
         y16 = self.comparator.frozen_y_16x16(img, grid.bw, grid.bh)
         children = self.comparator.children_state(grid.bw, grid.bh)
-        return "420c", (jnp.asarray(np.asarray(subs[0])),
-                        jnp.asarray(np.asarray(subs[1])), y16) \
+        mode = "420cl" if os.environ.get(
+            "GUETZLI_TPU_LANES", "1") != "0" else "420c"
+        return mode, (jnp.asarray(np.asarray(subs[0])),
+                      jnp.asarray(np.asarray(subs[1])), y16) \
             + children
 
     def select_frequency_masking(self, jpg, img: st.CoeffImage, comp_mask,

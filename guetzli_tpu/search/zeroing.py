@@ -69,6 +69,9 @@ def _eval_dispatch(mode, cand, aux, lookahead):
     if mode == "420yl":
         from guetzli_tpu.ops import tiles_lanes as tl
         return tl.compare_blocks_lanes420y(cand[:, 0], *aux)
+    if mode == "420cl":
+        from guetzli_tpu.ops import tiles_lanes as tl
+        return tl.compare_blocks_lanes420c(cand[:, 1], cand[:, 2], *aux)
     if mode == "444":
         xyb0_tiles, scales, ysel, xsel = aux
         lin = tile_ops.tiles_to_linear_rgb(cand, xsel, ysel)
@@ -98,10 +101,11 @@ def _rep_aux(aux, lookahead, mode=None):
     standard blocks-leading layout (its permute/compact steps index axis
     0); for the lane-major mode the transpose to tiles-last happens here,
     also once per stage program."""
-    if mode in ("444l", "420yl"):
+    if mode in ("444l", "420yl", "420cl"):
         from guetzli_tpu.ops import tiles_lanes as tl
-        tr = tl.transpose_aux_444 if mode == "444l" \
-            else tl.transpose_aux_420y
+        tr = {"444l": tl.transpose_aux_444,
+              "420yl": tl.transpose_aux_420y,
+              "420cl": tl.transpose_aux_420c}[mode]
         aux = tr(*aux)
         return tuple(jnp.repeat(a, lookahead, axis=-1) for a in aux)
     return tuple(jnp.repeat(a, lookahead, axis=0) for a in aux)

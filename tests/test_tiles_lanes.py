@@ -116,3 +116,54 @@ def test_lanes_420y_matches_standard():
                                   ysel, xsel)
     got = np.asarray(tl.compare_blocks_lanes420y(cand_y, *aux_t))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
+
+
+def test_lanes_420c_matches_standard():
+    """Lane-major 420 chroma-pass evaluation vs the standard path on a
+    real force-420 image state (the full aux as masking_aux builds it)."""
+    import os
+
+    from guetzli_tpu import consts
+    from guetzli_tpu.codec.encoder import encode_rgb_to_jpeg
+    from guetzli_tpu.comparator import Comparator
+    from guetzli_tpu.io.png import read_png
+    from guetzli_tpu.ops import tiles as tile_ops
+    from guetzli_tpu.ops import tiles_lanes as tl
+    from guetzli_tpu.search.processor import Params, Processor, ProcessStats
+    from guetzli_tpu.search import state as st
+
+    with open(FIXTURES / "bees96x64.png", "rb") as f:
+        rgb, w, h = read_png(f.read())
+    target = consts.butteraugli_score_for_quality(95)
+    comp = Comparator(rgb, w, h, target)
+    proc = Processor(Params(force_420=True), comp, ProcessStats())
+    jpg = encode_rgb_to_jpeg(rgb, w, h)
+    st.remove_original_quantization(jpg)
+    img = st.CoeffImage.from_jpeg(jpg)
+    img.downsample()
+    comp.compare_img(img)
+    grid = img.comps[2]
+
+    os.environ["GUETZLI_TPU_LANES"] = "0"
+    try:
+        mode_s, aux_s = proc.masking_aux(img, 6, grid)
+    finally:
+        os.environ.pop("GUETZLI_TPU_LANES", None)
+    assert mode_s == "420c"
+
+    g = comp.geom
+    cands = []
+    for c in (1, 2):
+        cc = img.comps[c].coeffs
+        if g is not None:
+            cbwp, cbhp = g.wp // 16, g.hp // 16
+            cc = g.pad_blocks(cc, img.comps[c].bw, img.comps[c].bh,
+                              cbwp, cbhp)
+        cands.append(np.asarray(cc, dtype=np.int32))
+    cand_u, cand_v = (jnp.asarray(c) for c in cands)
+
+    want = np.asarray(tile_ops.compare_blocks_420c(
+        cand_u, cand_v, *aux_s))
+    aux_t = tl.transpose_aux_420c(*aux_s)
+    got = np.asarray(tl.compare_blocks_lanes420c(cand_u, cand_v, *aux_t))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
