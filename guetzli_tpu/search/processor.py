@@ -287,8 +287,16 @@ class Processor:
         import os
 
         import jax
-        if (os.environ.get("GUETZLI_TPU_TREE_QUANT", "1") != "0"
-                and self.comparator.supports_quant_batch()):
+        tree_env = os.environ.get("GUETZLI_TPU_TREE_QUANT")
+        if tree_env is None:
+            # The tree speculatively evaluates the whole next search
+            # subtree per wave: a win when the round trip dominates (the
+            # accelerator), pure extra compute on the compute-bound CPU
+            # fallback.
+            use_tree = jax.default_backend() != "cpu"
+        else:
+            use_tree = tree_env != "0"
+        if use_tree and self.comparator.supports_quant_batch():
             # One-fetch wave evaluation of the whole binary-search tree
             # (search/quant_tree.py); identical trial sequence + output.
             from guetzli_tpu.search.quant_tree import \
