@@ -1,0 +1,107 @@
+"""Fused Pallas TPU kernel for the per-block compare, lane-major layout.
+
+Second formulation of kernels/tile_compare.py's fused CompareBlock (the
+analog of the reference's flagship GPU kernel, clguetzli.cl:752-879):
+operands arrive tiles-LAST ([3, 8, 8, N], blocks in lanes — the layout
+ops/tiles_lanes.py already uses for the XLA path), so
+
+  * every vector value in the kernel keeps N as its minor (lane) axis
+    with small leading dims — the natural (8, 128)-tile layout Mosaic
+    expects, instead of the minor-(8, 8) tiles of the blocks-leading
+    form that the AOT toolchain aborted on;
+  * every operand and intermediate is rank >= 2 (the observed Mosaic
+    check failure was a rank-1 layout: `arr.size() >= layout_rank`);
+  * the whole pipeline is the SAME jnp code as the XLA lane-major path
+    (ops/tiles_lanes.py), so interpret-mode equality against it is
+    structural.
+
+Validated in interpret mode (tests/test_pallas_kernel.py); the Mosaic
+AOT compile attempt is queued in tools/tpu_capture.py. Enable on TPU
+with GUETZLI_TPU_PALLAS=2.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from guetzli_tpu.ops import tiles_lanes as tl
+
+TILE_N = 512    # blocks per grid step (4 lane tiles)
+
+
+def _kernel(cand_ref, xyb0_ref, scales_ref, ymax_ref, xmax_ref, csfd_ref,
+            out_ref):
+    cand_t = cand_ref[...]                       # [3, 8, 8, TN] int32
+    ymax = ymax_ref[...][0]                      # [TN] (from [1, TN])
+    xmax = xmax_ref[...][0]
+
+    v = tl.idct_lanes(cand_t)
+    v = tl.edge_replicate_lanes(v, ymax, xmax)
+    rgb = tl._ycbcr_to_rgb_lanes(v[0], v[1], v[2])
+    lin = tl._srgb_to_linear_lanes(rgb)
+    xyb1 = tl.opsin_blocks_lanes(lin)
+    m0, m1 = tl.mhic_lanes(xyb0_ref[...], xyb1)
+    dc, ac, edge = tl.block_diff_lanes(m0, m1, csfd_ref[...][..., None])
+
+    scales_t = scales_ref[...]                   # [3, TN]
+    diff = jnp.sum((dc + ac) * scales_t, axis=0, keepdims=True)
+    diff_edge = jnp.sum(edge * scales_t, axis=0, keepdims=True)
+    w = np.float32(tl._BLOCK_EDGE_W)
+    out_ref[...] = jnp.sqrt((1.0 - w) * diff + w * diff_edge)
+
+
+def tile_compare_pallas_lanes(cand, xyb0_tiles, scales, ysel, xsel,
+                              interpret=None):
+    """Fused lane-major per-tile compare.
+
+    Args:
+      cand: [N, 3, 64] int32 dequantized candidate coefficients
+        (N padded to a multiple of TILE_N by the caller).
+      xyb0_tiles: [N, 3, 64] f32; scales: [N, 3] f32;
+      ysel, xsel: [N, 8] int32 clamped index vectors.
+    Returns [N] float32 block errors.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    x0, sc, ymax, xmax = tl.transpose_aux_444(xyb0_tiles, scales,
+                                              ysel, xsel)
+    cand_t = jnp.transpose(
+        jnp.reshape(cand, (-1, 3, 8, 8)), (1, 2, 3, 0))
+    return _tile_compare_lanes(cand_t, x0, sc, ymax[None, :],
+                               xmax[None, :], interpret)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _tile_compare_lanes(cand_t, xyb0_t, scales_t, ymax2, xmax2,
+                        interpret=False):
+    n = cand_t.shape[-1]
+    assert n % TILE_N == 0, n
+    grid = (n // TILE_N,)
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, 8, 8, TILE_N), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 8, 8, TILE_N), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_N), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_N), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_N), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_N), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        interpret=interpret,
+    )(cand_t, xyb0_t, scales_t, ymax2, xmax2,
+      jnp.asarray(tl._CSF_D[..., 0]))
+    return out[0]

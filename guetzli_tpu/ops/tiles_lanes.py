@@ -143,15 +143,19 @@ def mhic_lanes(t0, t1):
     ave = (t0 + t1) * 0.5
     y = ave[1]                                     # [8, 8, N]
     big = np.float32(-1.0)
-    valid_l = np.ones((8, 8, 1), bool); valid_l[:, 0] = False
-    valid_r = np.ones((8, 8, 1), bool); valid_r[:, -1] = False
-    valid_u = np.ones((8, 8, 1), bool); valid_u[0, :] = False
-    valid_d = np.ones((8, 8, 1), bool); valid_d[-1, :] = False
+    # Border-validity masks from iotas (not captured numpy constants, so
+    # the same code runs inside a Pallas kernel).
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 8, 1), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, 8, 1), 1)
+    valid_l = col >= 1
+    valid_r = col <= 6
+    valid_u = row >= 1
+    valid_d = row <= 6
 
     def sq_shift(dy, dx, valid):
         shifted = jnp.roll(jnp.roll(y, -dy, axis=0), -dx, axis=1)
         d = shifted - y
-        return jnp.where(jnp.asarray(valid), d * d, big)
+        return jnp.where(valid, d * d, big)
 
     sqr_max = jnp.maximum(
         jnp.maximum(sq_shift(0, -1, valid_l), sq_shift(0, 1, valid_r)),
@@ -190,9 +194,13 @@ def _fft8_sq_lanes(x):
     return (gr * gr + gi * gi) * np.float32(consts.FFT_GLOBAL_MUL)
 
 
-def block_diff_lanes(b0, b1):
+def block_diff_lanes(b0, b1, csfd=None):
     """ButteraugliBlockDiff (butteraugli.cc:602-684) on [3, 8, 8, N]
-    tiles-last pairs -> (diff_dc, diff_ac, diff_edge), each [3, N]."""
+    tiles-last pairs -> (diff_dc, diff_ac, diff_edge), each [3, N].
+
+    ``csfd``: optional [8, 8, 1] masked-CSF weights operand (a Pallas
+    kernel must pass the table as an input; XLA callers default to the
+    module constant)."""
     csf0 = np.float32(consts.CSF8X8[0])
     diff = b0 - b1                                 # [3, 8, 8, N]
 
@@ -218,7 +226,7 @@ def block_diff_lanes(b0, b1):
     y_hd = _fft8_sq_lanes(bhd[1])
     z_hd = _fft8_sq_lanes(bhd[2])
 
-    d = jnp.asarray(_CSF_D)
+    d = jnp.asarray(_CSF_D) if csfd is None else csfd
 
     def wsum(x):                                   # [8, 8, N] -> [N]
         return jnp.sum(jnp.sum(d * x, axis=0), axis=0)

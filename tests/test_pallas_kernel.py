@@ -60,3 +60,31 @@ def test_pallas_matches_xla(setup):
     # sensitivity keeps differences under ~1e-3 -- the same tolerance band
     # as the reference-vs-JAX stage parity tests.
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_lanes_matches_xla(setup):
+    """The lane-major fused kernel (kernels/tile_compare_lanes.py) vs the
+    XLA lane-major path, interpret mode. Interpret executes op-by-op
+    (every intermediate rounds at op boundaries), so agreement is in the
+    same ~1e-3 band as the blocks-leading kernel test above."""
+    import jax.numpy as jnp
+
+    from guetzli_tpu.kernels import tile_compare_lanes as tcl
+    from guetzli_tpu.ops import tiles_lanes as tl
+
+    cand, xyb0_tiles, scales, ysel, xsel = setup
+    nb = cand.shape[0]
+
+    aux_t = tl.transpose_aux_444(xyb0_tiles, scales, ysel, xsel)
+    want = np.asarray(tl.compare_blocks_lanes444(jnp.asarray(cand),
+                                                 *aux_t))
+
+    n = ((nb + tcl.TILE_N - 1) // tcl.TILE_N) * tcl.TILE_N
+    got = np.asarray(tcl.tile_compare_pallas_lanes(
+        jnp.asarray(_pad(cand, n)),
+        jnp.asarray(_pad(np.asarray(xyb0_tiles), n)),
+        jnp.asarray(_pad(np.asarray(scales), n)),
+        jnp.asarray(_pad(np.asarray(ysel), n)),
+        jnp.asarray(_pad(np.asarray(xsel), n)),
+        interpret=True))[:nb]
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=2e-3)

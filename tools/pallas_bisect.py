@@ -19,8 +19,31 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-STAGES = ("idct", "edgerep", "color", "opsin", "mhic", "blockdiff",
-          "full")
+STAGES = ("lanes_full", "idct", "edgerep", "color", "opsin", "mhic",
+          "blockdiff", "full")
+
+LANES_CODE = r"""
+import sys
+sys.path.insert(0, %(repo)r)
+import os
+INTERPRET = os.environ.get("_GT_BISECT_INTERPRET") == "1"
+import numpy as np
+import jax
+import jax.numpy as jnp
+from guetzli_tpu.kernels.tile_compare_lanes import (TILE_N,
+                                                    tile_compare_pallas_lanes)
+
+n = TILE_N
+out = tile_compare_pallas_lanes(
+    jnp.zeros((n, 3, 64), jnp.int32),
+    jnp.zeros((n, 3, 64), jnp.float32),
+    jnp.zeros((n, 3), jnp.float32),
+    jnp.zeros((n, 8), jnp.int32),
+    jnp.zeros((n, 8), jnp.int32),
+    interpret=INTERPRET)
+jax.block_until_ready(out)
+print("STAGE_OK", "lanes_full")
+"""
 
 STAGE_CODE = r"""
 import sys
@@ -156,8 +179,11 @@ print("STAGE_OK", STAGE)
 
 
 def run_stage(stage, dot, timeout=1500):
-    code = STAGE_CODE % {"repo": REPO, "stage": stage,
-                         "dot": "1" if dot else "0"}
+    if stage == "lanes_full":
+        code = LANES_CODE % {"repo": REPO}
+    else:
+        code = STAGE_CODE % {"repo": REPO, "stage": stage,
+                             "dot": "1" if dot else "0"}
     log = "/tmp/pallas_bisect_%s_dot%d.log" % (stage, int(dot))
     env = dict(os.environ)
     if env.get("_GT_BISECT_INTERPRET") == "1":
