@@ -338,7 +338,9 @@ def _mfu_estimate(rgb, w, h, params, reps=10):
                timed(lambda: fn(*args, **statics)[0]))
 
         # Zeroing inner op: one lookahead-3 candidate wave over every
-        # block (the body of the zeroing while_loop).
+        # block (the body of the zeroing while_loop). Measure the
+        # production lane-major program and, for comparison, the
+        # blocks-leading batch.
         comp.compare(np.stack([c.coeffs for c in img.comps], 0),
                      img.bw, img.bh)
         comp.start_block_comparisons()
@@ -353,6 +355,14 @@ def _mfu_estimate(rgb, w, h, params, reps=10):
         bflops = bfn.lower(*bargs).compile().cost_analysis()["flops"]
         record("block_eval", bflops, timed(lambda: bfn(*bargs)))
         out["block_eval_tiles"] = nb * 3
+
+        from guetzli_tpu.ops import tiles_lanes as tl
+        aux_t = tl.transpose_aux_444(*bargs[1:])
+        lfn = jax.jit(tl.compare_blocks_lanes444)
+        lflops = lfn.lower(bargs[0], *aux_t).compile() \
+            .cost_analysis()["flops"]
+        record("block_eval_lanes", lflops,
+               timed(lambda: lfn(bargs[0], *aux_t)))
     return out
 
 
