@@ -515,15 +515,22 @@ class Comparator:
 
     # Fixed trial-batch sizes: one compiled program per (bucket, B).
     _QUANT_BATCH_SIZES = (4, 8)
-    # HBM budget for one wave: batch * padded pixels. Each trial holds
-    # several plane-sized f32 buffers through the diffmap pipeline, so
-    # 8-wide waves on 8+ MPix images exceed the 16 GB v5e HBM.
-    _QUANT_BATCH_PIXEL_BUDGET = 32 << 20
+    # HBM budget for one wave's transients, and the per-trial cost model
+    # in *tiled-layout* bytes per padded pixel. The round-2 mpix1 OOM
+    # showed logical pixels are the wrong unit: a minor-dim-8 plane-scale
+    # tensor T(8,128)-pads 16x. With the lane-major block-diff windows
+    # (ops/diffmap.block_diff_map_dyn) the dominant per-trial transients
+    # are the [6, 8ny, 8nx] window selection (~170 B/px) plus its
+    # reshape/transpose copies and the per-channel FFT planes; ~700 B/px
+    # bounds the peak with slack for XLA scheduling.
+    _QUANT_WAVE_HBM_BUDGET = 12 << 30
+    _QUANT_TRIAL_BYTES_PER_PIXEL = 700
 
     def quant_batch_sizes(self):
         """Wave sizes permitted for this image geometry."""
         g = self.geom
-        cap = max(1, self._QUANT_BATCH_PIXEL_BUDGET // (g.wp * g.hp))
+        per_trial = g.wp * g.hp * self._QUANT_TRIAL_BYTES_PER_PIXEL
+        cap = max(1, int(self._QUANT_WAVE_HBM_BUDGET // per_trial))
         sizes = tuple(s for s in self._QUANT_BATCH_SIZES if s <= cap)
         return sizes if sizes else (cap if cap < self._QUANT_BATCH_SIZES[0]
                                     else self._QUANT_BATCH_SIZES[0],)

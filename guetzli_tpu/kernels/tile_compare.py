@@ -39,7 +39,10 @@ from jax.experimental.pallas import tpu as pltpu
 from guetzli_tpu import consts
 from guetzli_tpu.ops.blur import blur_matrix
 
-TILE = 256  # tiles per grid step
+# Tiles per grid step. At 256 the Mosaic register allocator's spill
+# slots alone need 128.82 MB of VMEM -- 836 KB over the v5e's 128 MB
+# (tpu_r03 bisect); 128 halves the spill footprint and fits.
+TILE = 128
 
 # Dot-based contraction lowering (smaller MLIR for the AOT Mosaic helper);
 # numerically equivalent within f32 rounding of the unrolled-FMA default.

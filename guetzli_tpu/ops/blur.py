@@ -100,13 +100,39 @@ def blur(channel, sigma: float, border_ratio: float = 0.0):
     out = jnp.swapaxes(t.reshape(lead + (dw, dh)), -1, -2)
 
     if step > 1:
-        out = jnp.repeat(jnp.repeat(out, step, axis=-2), step, axis=-1)
-        out = out[..., :h, :w]
+        out = _nearest_upsample(out, step, h, w)
     return out
 
 
 def blur_step(sigma: float) -> int:
     return max(1, int(sigma / 3.0))
+
+
+@lru_cache(maxsize=None)
+def _upsample_matrix(dw: int, w: int, step: int):
+    """[dw, w] 0/1 matrix: column j reads subsampled position j // step."""
+    u = np.zeros((dw, w), dtype=np.float32)
+    u[np.minimum(np.arange(w) // step, dw - 1), np.arange(w)] = 1.0
+    return u
+
+
+def _nearest_upsample(out, step, h, w):
+    """Nearest-neighbor upsample [..., dh, dw] -> [..., h, w].
+
+    The row pass is a repeat (its [..., dh, step, dw] intermediate keeps
+    the minor dim wide). The column pass differs per backend: a repeat on
+    the minor axis materializes a [..., dw, step] tensor whose minor dim
+    `step` the TPU T(8,128) layout pads to 128 lanes -- 32x the logical
+    bytes at step 4, a multi-GB transient per plane-scale blur (the
+    round-2 mpix1 OOM class) -- so accelerators use an exact one-hot
+    matmul instead (one 1.0 * value product per output)."""
+    from guetzli_tpu.ops.layout import lane_safe
+    t = jnp.repeat(out, step, axis=-2)[..., :h, :]
+    if not lane_safe():
+        return jnp.repeat(t, step, axis=-1)[..., :w]
+    u = jnp.asarray(_upsample_matrix(t.shape[-1], w, step))
+    return jnp.einsum('...d,dw->...w', t, u,
+                      precision=lax.Precision.HIGHEST)
 
 
 def border_scales(size: int, padded: int, sigma: float,
@@ -154,8 +180,7 @@ def blur_dyn(channel, sigma: float, scale_x, scale_y):
     out = jnp.swapaxes(t.reshape(lead + (dw, dh)), -1, -2)
 
     if step > 1:
-        out = jnp.repeat(jnp.repeat(out, step, axis=-2), step, axis=-1)
-        out = out[..., :h, :w]
+        out = _nearest_upsample(out, step, h, w)
     return out
 
 

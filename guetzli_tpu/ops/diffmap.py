@@ -356,6 +356,15 @@ def _vmask(hp, wp, w, h):
     return (row < h) & (col < w)
 
 
+def _pad_to_res_cm(m, w, h, step):
+    """Channel-major _pad_to_res: [..., ny, nx] -> [..., RY, RX]."""
+    ry = -(-h // step)
+    rx = -(-w // step)
+    pads = [(0, 0)] * (m.ndim - 2)
+    pads += [(0, ry - m.shape[-2]), (0, rx - m.shape[-1])]
+    return jnp.pad(m, pads)
+
+
 def _res_positions_dyn(padded, actual, step, margin):
     """Static-count step-grid positions + dynamic validity (the padded
     analog of _res_positions)."""
@@ -489,33 +498,63 @@ def edge_detector_map_dyn(xyb0, xyb1, w, h, sc, step=3):
     grid_ok = ry_ok[:, None] & rx_ok[None, :]
     mul = (np.float32(consts.EDGE_DETECTOR_WEIGHT) * 8.0
            / jnp.where(cnt > 0, cnt, 1.0))
-    out = jnp.moveaxis(acc * mul[None], 0, -1)
-    out = jnp.where(grid_ok[:, :, None], out, 0.0)
-    return _pad_to_res(out, wp, hp, step)
+    out = acc * mul[None]                           # [3, ny, nx]
+    out = jnp.where(grid_ok[None], out, 0.0)
+    return _pad_to_res_cm(out, wp, hp, step)
+
+
+def _use_lanes_blockdiff():
+    """Whole-image block diff formulation: lane-major on accelerators
+    (GUETZLI_TPU_LANE_SAFE=1/0 overrides). The window-major form
+    materializes a [6, ny, 8, nx, 8] tensor whose minor dim 8 the TPU
+    T(8,128) layout pads 16x — 25.6 GB for an 8-wide quant wave at
+    1 MPix (the round-2 mpix1 OOM); the lane-major form keeps every
+    plane-scale tensor's minor dim at lane width. CPU keeps the
+    window-major form: its rounding is pinned by the golden corpus."""
+    from guetzli_tpu.ops.layout import lane_safe
+    return lane_safe()
 
 
 def block_diff_map_dyn(xyb0, xyb1, w, h, step=3):
+    """-> channel-major (dc, ac) maps [3, RY, RX] on the res grid."""
     _, hp, wp = xyb0.shape
     rx, rx_ok = _res_positions_dyn(wp, w, step, 8 - step - 1)
     ry, ry_ok = _res_positions_dyn(hp, h, step, 8 - step - 1)
     px = jnp.clip(jnp.minimum(rx, w - 8), 0)
     py = jnp.clip(jnp.minimum(ry, h - 8), 0)
     ny, nx = len(py), len(px)
-
-    # 8x8 windows of both images in one selection pass over the stacked
-    # [6, hp, wp] tensor (rows py+dy, columns px+dx).
     e8 = jnp.arange(8, dtype=jnp.int32)
-    ty = (py[:, None] + e8[None, :]).reshape(-1)         # [ny*8]
-    tx = (px[:, None] + e8[None, :]).reshape(-1)         # [nx*8]
-    both = _select_yx(jnp.concatenate([xyb0, xyb1], axis=0), ty, tx)
-    both = both.reshape(6, ny, 8, nx, 8).transpose(1, 3, 0, 2, 4)
-    w0 = both[:, :, 0:3].reshape(ny, nx, 3, 64)
-    w1 = both[:, :, 3:6].reshape(ny, nx, 3, 64)
-    dc, ac, _edge = bd.block_diff(w0, w1)
-    grid_ok = (ry_ok[:, None] & rx_ok[None, :])[:, :, None]
+
+    if _use_lanes_blockdiff():
+        # Lane-major: select rows dy-major / columns dx-major so the
+        # window split is a [6, 8, ny, 8, nx] reshape (minor dims nx and
+        # 8-aligned sublanes — no tiled-layout blowup), then run the
+        # tiles-last ButteraugliBlockDiff with ny*nx blocks in lanes.
+        from guetzli_tpu.ops import tiles_lanes as tl
+        ty = (e8[:, None] + py[None, :]).reshape(-1)     # [8*ny]
+        tx = (e8[:, None] + px[None, :]).reshape(-1)     # [8*nx]
+        both = _select_yx(jnp.concatenate([xyb0, xyb1], axis=0), ty, tx)
+        both = both.reshape(6, 8, ny, 8, nx).transpose(0, 1, 3, 2, 4)
+        both = both.reshape(6, 8, 8, ny * nx)            # [6, y, x, N]
+        dc, ac, _edge = tl.block_diff_lanes(both[0:3], both[3:6])
+        dc = dc.reshape(3, ny, nx)
+        ac = ac.reshape(3, ny, nx)
+    else:
+        # Window-major (CPU): 8x8 windows of both images in one selection
+        # pass over the stacked [6, hp, wp] tensor.
+        ty = (py[:, None] + e8[None, :]).reshape(-1)     # [ny*8]
+        tx = (px[:, None] + e8[None, :]).reshape(-1)     # [nx*8]
+        both = _select_yx(jnp.concatenate([xyb0, xyb1], axis=0), ty, tx)
+        both = both.reshape(6, ny, 8, nx, 8).transpose(1, 3, 0, 2, 4)
+        w0 = both[:, :, 0:3].reshape(ny, nx, 3, 64)
+        w1 = both[:, :, 3:6].reshape(ny, nx, 3, 64)
+        dc, ac, _edge = bd.block_diff(w0, w1)
+        dc = jnp.moveaxis(dc, -1, 0)
+        ac = jnp.moveaxis(ac, -1, 0)
+    grid_ok = (ry_ok[:, None] & rx_ok[None, :])[None]
     dc = jnp.where(grid_ok, dc, 0.0)
     ac = jnp.where(grid_ok, ac, 0.0)
-    return _pad_to_res(dc, wp, hp, step), _pad_to_res(ac, wp, hp, step)
+    return _pad_to_res_cm(dc, wp, hp, step), _pad_to_res_cm(ac, wp, hp, step)
 
 
 def edge_detector_low_freq_dyn(xyb0, xyb1, ac_map, w, h, sc, step=3):
@@ -556,13 +595,13 @@ def edge_detector_low_freq_dyn(xyb0, xyb1, ac_map, w, h, sc, step=3):
     md = jnp.maximum(jnp.maximum(per_k[0], per_k[1]),
                      jnp.maximum(per_k[2], per_k[3]))
     grid_ok = ys_ok[:, None] & xs_ok[None, :]
-    add = jnp.moveaxis(md, 0, -1) * np.float32(consts.EDGE_LF_MUL)
-    add = jnp.where(grid_ok[:, :, None], add, 0.0)
+    add = md * np.float32(consts.EDGE_LF_MUL)       # [3, ny, nx]
+    add = jnp.where(grid_ok[None], add, 0.0)
 
     off = 8 // step
-    pad_y = ac_map.shape[0] - add.shape[0]
-    pad_x = ac_map.shape[1] - add.shape[1] - off
-    add_full = jnp.pad(add, ((0, pad_y), (off, pad_x), (0, 0)))
+    pad_y = ac_map.shape[-2] - add.shape[-2]
+    pad_x = ac_map.shape[-1] - add.shape[-1] - off
+    add_full = jnp.pad(add, ((0, 0), (0, pad_y), (off, pad_x)))
     return ac_map + add_full
 
 
@@ -622,19 +661,20 @@ def mask_dyn(xyb0, xyb1, w, h, sc):
 
 def combine_channels_dyn(mask_xyb, mask_dc, dc_map, ac_map, edge_map,
                          w, h, hp, wp, step=3):
+    """dc/ac/edge maps are channel-major [3, RY, RX]."""
     ry, ry_ok = _res_positions_dyn(hp, h, step, 8 - step)
     rx, rx_ok = _res_positions_dyn(wp, w, step, 8 - step)
     both = _select_yx(jnp.concatenate([mask_xyb, mask_dc], axis=0),
                       ry + 3, rx + 3)
     msel, dsel = both[0:3], both[3:6]
     ny, nx = len(ry), len(rx)
-    dc = dc_map[:ny, :nx]
-    ac = ac_map[:ny, :nx]
-    em = edge_map[:ny, :nx]
+    dc = dc_map[:, :ny, :nx]
+    ac = ac_map[:, :ny, :nx]
+    em = edge_map[:, :ny, :nx]
     hi = jax.lax.Precision.HIGHEST
-    res = (jnp.einsum('yxc,cyx->yx', dc, dsel, precision=hi)
-           + jnp.einsum('yxc,cyx->yx', ac, msel, precision=hi)
-           + jnp.einsum('yxc,cyx->yx', em, msel, precision=hi))
+    res = (jnp.einsum('cyx,cyx->yx', dc, dsel, precision=hi)
+           + jnp.einsum('cyx,cyx->yx', ac, msel, precision=hi)
+           + jnp.einsum('cyx,cyx->yx', em, msel, precision=hi))
     return jnp.where(ry_ok[:, None] & rx_ok[None, :], res, 0.0)
 
 

@@ -152,8 +152,13 @@ def mhic_lanes(t0, t1):
     valid_u = row >= 1
     valid_d = row <= 6
 
+    def roll_nz(v, shift, axis):
+        # jnp.roll by 0 still emits a zero-length slice, which the Mosaic
+        # vector layout rejects ("sizes 0, 8, ..."); skip the no-op.
+        return jnp.roll(v, shift, axis=axis) if shift else v
+
     def sq_shift(dy, dx, valid):
-        shifted = jnp.roll(jnp.roll(y, -dy, axis=0), -dx, axis=1)
+        shifted = roll_nz(roll_nz(y, -dy, 0), -dx, 1)
         d = shifted - y
         return jnp.where(valid, d * d, big)
 

@@ -59,6 +59,10 @@ class ProcessStats:
     counters: dict = field(default_factory=dict)
     timings: dict = field(default_factory=dict)
     debug: bool = False
+    # Set when the search threw and the fallback output was emitted
+    # instead (processor.cc:965-977 resilience model); benchmarks must
+    # report this as a failure, not a timing.
+    search_error: str = None
 
     def inc(self, name, amount=1):
         self.counters[name] = self.counters.get(name, 0) + amount
@@ -953,6 +957,7 @@ class Processor:
             # reference's resilience model (processor.cc:965-977).
             if not self.final.jpeg_data:
                 raise
+            self.stats.search_error = str(e)
             sys.stderr.write(
                 "search failed (%s); emitting best output so far\n" % e)
         return True
