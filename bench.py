@@ -98,12 +98,18 @@ def main():
     # cheap.
     out = None
     dt = None
+    err = None
     for attempt in range(3):
         try:
             process_rgb(params, rgb, w, h, ProcessStats())
+            stats = ProcessStats()
             t0 = time.time()
-            out = process_rgb(params, rgb, w, h, ProcessStats())
+            out = process_rgb(params, rgb, w, h, stats)
             dt = time.time() - t0
+            # A thrown search that fell back to the requantized output is
+            # a bench FAILURE, not a timing (the fallback bytes are not a
+            # quality-parity encode).
+            err = stats.search_error
             break
         except Exception as e:
             sys.stderr.write("bench attempt %d failed: %s\n"
@@ -112,20 +118,26 @@ def main():
                 raise
             time.sleep(30)
 
-    value = mpix / dt
-    size_ok = abs(len(out) - REF_SIZE) <= 0.02 * REF_SIZE
     result = {
         "metric": "Encode MPix/s per chip at Q=95 "
                   "(butteraugli-score and file-size parity vs ref)",
-        "value": round(value, 5),
         "unit": "MPix/s",
-        "vs_baseline": round(value / REF_MPIX_PER_S, 2),
-        "encode_s": round(dt, 2),
-        "out_bytes": len(out),
-        "ref_bytes": REF_SIZE,
-        "parity": bool(size_ok),
         "backend": jax.default_backend(),
+        "ref_bytes": REF_SIZE,
     }
+    if err is not None:
+        result.update({"value": 0.0, "vs_baseline": 0.0, "parity": False,
+                       "error": err[:500], "out_bytes": len(out)})
+    else:
+        value = mpix / dt
+        size_ok = abs(len(out) - REF_SIZE) <= 0.02 * REF_SIZE
+        result.update({
+            "value": round(value, 5),
+            "vs_baseline": round(value / REF_MPIX_PER_S, 2),
+            "encode_s": round(dt, 2),
+            "out_bytes": len(out),
+            "parity": bool(size_ok),
+        })
     try:
         result.update(_mfu_estimate(rgb, w, h, params))
     except Exception as e:                      # never fail the bench on it
@@ -211,10 +223,22 @@ def _mpix1_bench(params):
     im = im.resize((1332, 774))
     rgb = np.asarray(im, np.uint8)
     mpix = 1332 * 774 / 1e6
-    process_rgb(params, rgb, 1332, 774, ProcessStats())      # warm
+    warm_stats = ProcessStats()
+    process_rgb(params, rgb, 1332, 774, warm_stats)          # warm
+    if warm_stats.search_error is not None:
+        # The search threw and emitted the fallback: that is a FAILED
+        # bench stage, not a throughput measurement.
+        return {"mpix1_error": warm_stats.search_error[:500],
+                "mpix1_parity": False,
+                "mpix1_ref_bytes": REF_1MPIX_SIZE}
+    stats = ProcessStats()
     t0 = time.time()
-    out = process_rgb(params, rgb, 1332, 774, ProcessStats())
+    out = process_rgb(params, rgb, 1332, 774, stats)
     dt = time.time() - t0
+    if stats.search_error is not None:
+        return {"mpix1_error": stats.search_error[:500],
+                "mpix1_parity": False,
+                "mpix1_ref_bytes": REF_1MPIX_SIZE}
     v = mpix / dt
     return {
         "mpix1_encode_s": round(dt, 2),
@@ -250,13 +274,21 @@ def _batch_throughput(single_out, mpix, batch=4):
     dt = time.time() - t0
     outs = dict(outs) if not isinstance(outs, dict) else outs
     vals = list(outs.values()) if isinstance(outs, dict) else outs
-    identical = all(v == single_out for v in vals)
+    identical = (len(vals) == batch
+                 and all(v == single_out for v in vals))
+    if not identical:
+        # Missing or divergent outputs mean the batched path did not
+        # reproduce the serial encode -- report failure, not throughput.
+        return {"batch_images": batch,
+                "batch_error": "outputs not identical to serial "
+                               "(%d/%d returned)" % (len(vals), batch),
+                "batch_outputs_identical_to_serial": False}
     return {
         "batch_images": batch,
         "batch_mpix_s": round(batch * mpix / dt, 5),
         "batch_vs_baseline": round(batch * mpix / dt / REF_MPIX_PER_S, 2),
         "batch_encode_s": round(dt, 2),
-        "batch_outputs_identical_to_serial": bool(identical),
+        "batch_outputs_identical_to_serial": True,
     }
 
 

@@ -1079,30 +1079,20 @@ def process_unsupported_jpeg_bytes(params: Params, data: bytes,
 
     JPEGs outside the 3-component YCbCr 444/420 fast path (CMYK, YCCK,
     4:2:2/4:1:1 sampling, grayscale, RGB-tagged) are decoded to RGB pixels
-    and re-enter the pixel pipeline. The reference forces JCS_RGB through
-    libjpeg/turbojpeg and converts CMYK with (c*k+c+128)>>8 on the raw
-    (Adobe-inverted) planes (processor.cc:1069-1086); PIL's libjpeg-backed
-    convert("RGB") is byte-identical to that formula, so we use it as the
-    decode oracle.
+    in-tree (codec/full_decode.py: libjpeg-exact islow IDCT + fancy
+    upsampling + the reference's (c*k+c+128)>>8 CMYK formula,
+    processor.cc:1069-1086) and re-enter the pixel pipeline. PIL remains
+    a test oracle only.
     """
-    import io as _io
+    from guetzli_tpu.codec import full_decode, reader
     try:
-        from PIL import Image
-    except ImportError:
-        sys.stderr.write(
-            "Unsupported input JPEG and PIL is unavailable for the "
-            "full-JPEG fallback.\nPlease provide the input as PNG.\n")
-        return None
-    try:
-        im = Image.open(_io.BytesIO(data))
-        im = im.convert("RGB")
-    except Exception as e:  # PIL raises assorted types on corrupt input
+        jpg = reader.read_jpeg(data)
+        rgb, w, h = full_decode.decode_any_to_rgb(jpg)
+    except (reader.JpegError, ValueError) as e:
         sys.stderr.write("Can't decode unsupported JPEG: %s\n" % e)
         return None
-    rgb = np.asarray(im, dtype=np.uint8)
-    h, w = rgb.shape[:2]
     try:
-        return process_rgb(params, rgb.reshape(h, w, 3), w, h, stats)
+        return process_rgb(params, rgb, w, h, stats)
     except ValueError:
         return None
 

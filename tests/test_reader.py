@@ -260,3 +260,103 @@ def test_progressive_al_limit(rgb96x64):
     data[i + 2 + ln - 1] = 0x0B  # Ah=0, Al=11
     with pytest.raises(reader.JpegError):
         reader.read_jpeg(bytes(data))
+
+
+def test_full_decode_matches_libjpeg(rgb96x64):
+    """codec/full_decode.py decodes every fallback-path input class
+    byte-identically to libjpeg (PIL is the oracle here, production no
+    longer imports it on this path): islow IDCT + fancy h2v1/h2v2
+    upsampling + ycc_rgb tables + the reference's cmyk2rgb formula
+    (processor.cc:1069-1086)."""
+    import io as _io
+
+    from PIL import Image
+    from guetzli_tpu.codec import full_decode
+
+    im = Image.fromarray(rgb96x64[:61, :45])
+    cases = []
+    for kw in (dict(subsampling=0), dict(subsampling=1),
+               dict(subsampling=2), dict(subsampling=2, progressive=True)):
+        buf = _io.BytesIO()
+        im.save(buf, format="JPEG", quality=88, **kw)
+        cases.append(buf.getvalue())
+    for mode in ("L", "CMYK"):
+        buf = _io.BytesIO()
+        im.convert(mode).save(buf, format="JPEG", quality=88)
+        cases.append(buf.getvalue())
+    for data in cases:
+        jpg = reader.read_jpeg(data)
+        rgb, w, h = full_decode.decode_any_to_rgb(jpg)
+        assert (w, h) == (45, 61)
+        pil = np.asarray(Image.open(_io.BytesIO(data)).convert("RGB"))
+        np.testing.assert_array_equal(rgb, pil)
+
+
+def test_full_decode_ycck():
+    """YCCK (Adobe transform=2): YCbCr->R'G'B' -> invert to CMY, K
+    passthrough (jdcolor.c ycck_cmyk_convert), then (c*k+c+128)>>8.
+    Hand-computed scalar expectation on DC-only uniform blocks."""
+    from guetzli_tpu.codec import full_decode
+    from guetzli_tpu.codec import jpeg_data as jd
+
+    # Uniform 8x8 planes via DC-only coefficients: islow IDCT of a pure
+    # DC block dc*q is clip(round(dc*q/8) + 128).
+    dcs = (-160, 48, -16, 72)  # y, cb, cr, k with quant 1
+    comps = []
+    for i, dc in enumerate(dcs):
+        coeffs = np.zeros((1, 64), np.int16)
+        coeffs[0, 0] = dc
+        comps.append(jd.Component(
+            id=i + 1, h_samp_factor=1, v_samp_factor=1, quant_idx=0,
+            width_in_blocks=1, height_in_blocks=1, coeffs=coeffs))
+    jpg = jd.JpegData()
+    jpg.width = jpg.height = 8
+    jpg.components = comps
+    jpg.quant = [jd.QuantTable(np.ones(64, np.int32), 0, 0, True)]
+    jpg.app_data = [bytes([0xEE]) + bytes(13) + b"\x02"]
+    rgb, w, h = full_decode.decode_any_to_rgb(jpg)
+
+    yv, cb, cr, kv = [int(np.clip(round(d / 8) + 128, 0, 255))
+                      for d in dcs]
+    rr = min(255, max(0, yv + ((91881 * (cr - 128) + 32768) >> 16)))
+    gg = min(255, max(0, yv + ((-46802 * (cr - 128)
+                                - 22554 * (cb - 128) + 32768) >> 16)))
+    bb = min(255, max(0, yv + ((116130 * (cb - 128) + 32768) >> 16)))
+    exp = [(((255 - ch) * kv) + (255 - ch) + 128) >> 8
+           for ch in (rr, gg, bb)]
+    assert rgb.shape == (8, 8, 3)
+    assert [int(x) for x in rgb[0, 0]] == exp
+    assert (rgb == rgb[0, 0]).all()
+
+
+def test_full_jpeg_input_no_pil(rgb96x64, monkeypatch):
+    """The fallback path runs without PIL importable (VERDICT r2 #8):
+    production decode is in-tree; PIL is test-oracle-only."""
+    import builtins
+    import io as _io
+
+    from PIL import Image
+    from guetzli_tpu import consts
+    from guetzli_tpu.search.processor import (Params, ProcessStats,
+                                              process_jpeg_bytes)
+
+    buf = _io.BytesIO()
+    Image.fromarray(rgb96x64[:40, :40]).convert("CMYK").save(
+        buf, format="JPEG", quality=90)
+    data = buf.getvalue()
+
+    real_import = builtins.__import__
+
+    def block_pil(name, *a, **kw):
+        if name == "PIL" or name.startswith("PIL."):
+            raise ImportError("PIL blocked for test")
+        return real_import(name, *a, **kw)
+
+    params = Params()
+    params.butteraugli_target = consts.butteraugli_score_for_quality(95)
+    monkeypatch.setattr(builtins, "__import__", block_pil)
+    out = process_jpeg_bytes(params, data, ProcessStats())
+    monkeypatch.undo()
+    assert out is not None
+    back = reader.read_jpeg(out)
+    assert back.width == 40 and back.height == 40
