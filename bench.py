@@ -269,8 +269,10 @@ def _batch_throughput(single_out, mpix, batch=4):
     # corpus batcher can only coalesce compares whose threads are alive
     # to dispatch them -- more threads = wider waves, not CPU pressure.
     encode_corpus_lockstep(inputs, quality=95, threads=batch)   # warm
+    walls = {}
     t0 = time.time()
-    outs = encode_corpus_lockstep(inputs, quality=95, threads=batch)
+    outs = encode_corpus_lockstep(inputs, quality=95, threads=batch,
+                                  phase_walls=walls)
     dt = time.time() - t0
     outs = dict(outs) if not isinstance(outs, dict) else outs
     vals = list(outs.values()) if isinstance(outs, dict) else outs
@@ -288,6 +290,7 @@ def _batch_throughput(single_out, mpix, batch=4):
         "batch_mpix_s": round(batch * mpix / dt, 5),
         "batch_vs_baseline": round(batch * mpix / dt / REF_MPIX_PER_S, 2),
         "batch_encode_s": round(dt, 2),
+        "batch_phase_walls_s": {k: round(v, 2) for k, v in walls.items()},
         "batch_outputs_identical_to_serial": True,
     }
 

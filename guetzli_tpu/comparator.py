@@ -354,7 +354,17 @@ class CompareBatcher:
         launched = []
         for (kind, key), items in groups.items():
             idxs = [i for i, _ in items]
-            cols = list(zip(*[a for _, a in items]))
+            # The batch axis is a compiled shape: pad each group to the
+            # next power of two (repeating row 0) so a corpus run only ever
+            # compiles log2(Bmax) program variants per key. Without this,
+            # shrinking lockstep rounds and racy threaded flushes produce a
+            # fresh batch size -- and a fresh multi-minute AOT compile --
+            # per round. Pad rows are discarded below (results are indexed
+            # by the real idxs only).
+            rows = [a for _, a in items]
+            bpad = 1 << (len(rows) - 1).bit_length()
+            rows = rows + [rows[0]] * (bpad - len(rows))
+            cols = list(zip(*rows))
             stack = [jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *c)
                      for c in cols]
             if kind == "444":
@@ -958,3 +968,32 @@ class Comparator:
                              | p[1:-1, 0:-2] | p[1:-1, 1:-1] | p[1:-1, 2:]
                              | p[2:, 0:-2] | p[2:, 1:-1] | p[2:, 2:])
         return weight.reshape(-1)
+
+
+def fetch_compare_many(comps, handles):
+    """Complete many dispatch_compare_with_weights / dispatch_compare_sparse
+    round trips in ONE combined device pull.
+
+    The lockstep corpus back-end previously paid a full tunnel round trip
+    per image per iteration; pulling every active image's (score, w4) in
+    one device_get makes each back-end round cost one RTT regardless of
+    corpus width. Batcher handles resolve through their batcher (itself
+    one pull per flush group). Per-comparator side effects (distance,
+    device-resident distmap) match fetch_compare exactly."""
+    out = [None] * len(handles)
+    direct = [(i, h) for i, h in enumerate(handles)
+              if not isinstance(h[0], str)]
+    if direct:
+        pulled = jax.device_get([(h[0], h[2]) for _i, h in direct])
+        for (i, h), (score_np, w4_np) in zip(direct, pulled):
+            c = comps[i]
+            c.distance = float(score_np)
+            c.distmap = h[1]
+            w4 = np.asarray(w4_np)
+            if h[3] is not None:
+                w4 = c._unpad_w4(w4, *h[3])
+            out[i] = (c.distance, w4)
+    for i, h in enumerate(handles):
+        if isinstance(h[0], str):
+            out[i] = comps[i].fetch_compare(h)
+    return out

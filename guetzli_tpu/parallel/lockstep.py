@@ -81,7 +81,17 @@ def lockstep_select_quant_matrix(procs, jpgs, downsamples, best_qs, imgs):
     Args are per-image lists; `best_qs` entries are mutated in place like
     Processor.select_quant_matrix's best_q. Returns the per-image dist_ok
     list (the serial method's return value).
+
+    Padded-bucket comparators take the tree path: device-resident base
+    coefficients, ~768 B uploaded per trial and ONE combined score pull
+    per round across the corpus (search/quant_tree.py). The full-plane
+    per-trial upload below is only the unpadded-mode fallback.
     """
+    if all(p.comparator.geom is not None for p in procs):
+        from guetzli_tpu.search.quant_tree import \
+            lockstep_select_quant_matrix_tree
+        return lockstep_select_quant_matrix_tree(
+            procs, jpgs, downsamples, best_qs, imgs)
     sms = [_QuantSearch(p, j, d, q, i)
            for p, j, d, q, i in zip(procs, jpgs, downsamples, best_qs,
                                     imgs)]
@@ -117,7 +127,8 @@ def encode_corpus_lockstep(inputs, quality: float = 95,
                            force_420: bool = False,
                            try_420: bool = False,
                            use_silver_screen: bool = False,
-                           threads: int = 1):
+                           threads: int = 1,
+                           phase_walls=None):
     """Encode a corpus of PNG/JPEG images with the search phases in
     lockstep.
 
@@ -229,8 +240,13 @@ def encode_corpus_lockstep(inputs, quality: float = 95,
             imgs.append(img)
             best_qs.append(c["q_in"].copy())
 
+        import time as _time
+        t0 = _time.time()
         oks = lockstep_select_quant_matrix(
             procs, jpgs, [downsample != 0] * len(batch), best_qs, imgs)
+        if phase_walls is not None:
+            phase_walls["quant"] = phase_walls.get("quant", 0.0) \
+                + (_time.time() - t0)
         for i, ok in enumerate(oks):
             if not ok:
                 best_qs[i][:] = 1
@@ -239,27 +255,33 @@ def encode_corpus_lockstep(inputs, quality: float = 95,
 
         trip = list(zip(procs, jpgs, imgs))
         if not downsample:
-            _corpus_masking(trip, 7, [1.0] * len(batch), False, threads)
+            _corpus_masking(trip, 7, [1.0] * len(batch), False, threads,
+                            phase_walls)
         else:
             ymuls = [1.0 if len(j.components) == 1 else 0.97 for j in jpgs]
-            _corpus_masking(trip, 1, ymuls, False, threads)
-            _corpus_masking(trip, 6, [1.0] * len(batch), True, threads)
+            _corpus_masking(trip, 1, ymuls, False, threads, phase_walls)
+            _corpus_masking(trip, 6, [1.0] * len(batch), True, threads,
+                            phase_walls)
 
     for c in ctxs:
         results[c["name"]] = c["proc"].final.jpeg_data
     return [(n, results[n]) for n, _ in inputs]
 
 
-def _corpus_masking(trip, comp_mask, target_muls, stop_early, threads=1):
+def _corpus_masking(trip, comp_mask, target_muls, stop_early, threads=1,
+                    phase_walls=None):
     """One masking pass, lockstep across the corpus: per-image inputs and
     frozen aux state, ONE combined staged zeroing run (per-block limits),
-    then the per-image back-end loop (independent across images -- run
-    in `threads` workers to overlap host work with device round trips).
-    Per-block math is independent, so results are bit-identical to
-    per-image runs."""
+    then the back-end loops in lockstep iteration rounds (one combined
+    result pull per round). Per-block math is independent, so results are
+    bit-identical to per-image runs."""
+    import time as _time
+
     import jax.numpy as jnp
 
     from guetzli_tpu.search import zeroing
+
+    _t_zero = _time.time()
 
     per = []
     for proc, jpg, img in trip:
@@ -298,7 +320,7 @@ def _corpus_masking(trip, comp_mask, target_muls, stop_early, threads=1):
             idx = [i for i, p in enumerate(per) if p[2] == m]
             _corpus_masking([trip[i] for i in idx], comp_mask,
                             [target_muls[i] for i in idx], stop_early,
-                            threads)
+                            threads, phase_walls)
         return
     mode = modes[0]
     cat_blocks = np.concatenate([p[0] for p in per])
@@ -325,7 +347,13 @@ def _corpus_masking(trip, comp_mask, target_muls, stop_early, threads=1):
             for proc, _, _ in trip:
                 proc.comparator.recover_device_state()
 
-    def back_end(item):
+    if phase_walls is not None:
+        phase_walls["zeroing"] = phase_walls.get("zeroing", 0.0) \
+            + (_time.time() - _t_zero)
+    _t_back = _time.time()
+
+    def start(item):
+        """Per-image back-end prep; returns the iteration generator."""
         (proc, jpg, img), p, mul, off = item
         nbp = len(p[0])
         oi, oe, nn = (out_idx[off:off + nbp], out_err[off:off + nbp],
@@ -338,20 +366,52 @@ def _corpus_masking(trip, comp_mask, target_muls, stop_early, threads=1):
             nn = geom.unpad_blocks(nn, bw, bh, gbwp, gbhp)
         offsets, cand_idx, cand_err = proc.csr_from_zeroing(oi, oe, nn, nb)
         proc.comparator.finish_block_comparisons()
-        with proc.stats.timed("select_frequency_masking"):
-            proc.select_frequency_back_end(
-                jpg, img, comp_mask, mul, stop_early,
-                offsets, cand_idx, cand_err)
+        return proc.back_end_steps(jpg, img, comp_mask, mul, stop_early,
+                                   offsets, cand_idx, cand_err)
 
     items = []
     off = 0
     for t, p, mul in zip(trip, per, target_muls):
         items.append((t, p, mul, off))
         off += len(p[0])
-    if threads > 1:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=threads) as pool:
-            list(pool.map(back_end, items))
-    else:
-        for item in items:
-            back_end(item)
+
+    # Lockstep iteration rounds: advance every image's generator to its
+    # fetch point (its compare is dispatched, its host serialization
+    # done), then pull ALL pending (score, weights) in ONE combined
+    # device_get. Each image's decision sequence depends only on its own
+    # results, so outputs stay byte-identical to serial; the per-image
+    # tunnel round trip per iteration collapses to one per round.
+    from guetzli_tpu import comparator as cmp_mod
+    active = []
+    for item in items:
+        proc = item[0][0]
+        gen = start(item)
+        try:
+            pending, recover = next(gen)
+            active.append((proc, gen, pending, recover))
+        except StopIteration:
+            pass
+    while active:
+        comps = [a[0].comparator for a in active]
+        handles = [a[2] for a in active]
+        try:
+            results = cmp_mod.fetch_compare_many(comps, handles)
+        except Exception as e:
+            if "UNAVAILABLE" not in str(e):
+                raise
+            sys.stderr.write("worker crash during corpus back-end; "
+                             "recovering per image\n")
+            results = [a[0]._recoverable(
+                a[3], a[0].comparator.fetch_compare, a[2])
+                for a in active]
+        nxt = []
+        for (proc, gen, _p, _r), res in zip(active, results):
+            try:
+                pending, recover = gen.send(res)
+                nxt.append((proc, gen, pending, recover))
+            except StopIteration:
+                pass
+        active = nxt
+    if phase_walls is not None:
+        phase_walls["backend"] = phase_walls.get("backend", 0.0) \
+            + (_time.time() - _t_back)

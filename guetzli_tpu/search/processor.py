@@ -563,6 +563,31 @@ class Processor:
     def select_frequency_back_end(self, jpg, img: st.CoeffImage, comp_mask,
                                   target_mul, stop_early,
                                   offsets, cand_idx, cand_err):
+        """Serial driver for back_end_steps: fetch each yielded compare
+        immediately (with crash recovery)."""
+        gen = self.back_end_steps(jpg, img, comp_mask, target_mul,
+                                  stop_early, offsets, cand_idx, cand_err)
+        result = None
+        while True:
+            try:
+                pending, recover = (gen.send(result) if result is not None
+                                    else next(gen))
+            except StopIteration:
+                return
+            with self.stats.timed("backend_fetch"):
+                result = self._recoverable(
+                    recover, self.comparator.fetch_compare, pending)
+
+    def back_end_steps(self, jpg, img: st.CoeffImage, comp_mask,
+                       target_mul, stop_early,
+                       offsets, cand_idx, cand_err):
+        """SelectFrequencyBackEnd (processor.cc:723-919) as a generator:
+        yields (pending_compare_handle, recover_dispatch) at each
+        iteration's fetch point and receives the fetched (distance,
+        weights4) via send(). The serial driver fetches immediately; the
+        lockstep corpus driver (parallel/lockstep.py) advances every
+        image's generator to its yield and pulls ALL compares in one
+        combined device_get per round."""
         ncomp = len(jpg.components)
         width, height = img.width, img.height
         last_c = comp_mask.bit_length() - 1
@@ -774,10 +799,7 @@ class Processor:
                     return self.comparator.dispatch_compare_with_weights(
                         img, direction, target_mul, factor, factor)
 
-                with self.stats.timed("backend_fetch"):
-                    d, w4 = self._recoverable(
-                        recover_dispatch, self.comparator.fetch_compare,
-                        pending)
+                d, w4 = yield (pending, recover_dispatch)
                 cached_weights = (direction, w4)
                 self.stats.log(" BA[100.00%%] D[%6.4f]", d)
                 self.maybe_output(encoded)

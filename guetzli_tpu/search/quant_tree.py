@@ -9,7 +9,7 @@ work: from the current generator state, cloning the generator down both
 outcome branches yields every matrix the search could visit in the next
 `depth` iterations.
 
-This driver evaluates those candidates in waves: all not-yet-scored
+TreeQuantSearch evaluates those candidates in waves: all not-yet-scored
 matrices of the upcoming subtree go to the device as ONE batched program
 (requantization happens on-device from the resident base coefficients --
 ~768 bytes uploaded per trial instead of the full coefficient planes) and
@@ -18,6 +18,12 @@ order, same logging, same MaybeOutput sequence, same generator updates --
 with distances read from the memo. A depth-3 wave covers 4 serial
 iterations per round trip; typical searches finish in 2-4 fetches instead
 of 10-20.
+
+Two drivers share the state machine:
+  - select_quant_matrix_tree: one image, dispatch+fetch per wave.
+  - lockstep_select_quant_matrix_tree: a corpus; every active image's
+    waves are dispatched first, then ALL score arrays are pulled in one
+    combined device_get per round (parallel/lockstep.py uses this).
 
 Results are identical to the serial loop by construction: the replay IS
 the serial loop, only the compare transport differs.
@@ -55,82 +61,159 @@ def _enumerate_subtree(qgen, cur_q, initial, depth):
     return out
 
 
+class TreeQuantSearch:
+    """One image's SelectQuantMatrix as a resumable state machine:
+    dispatch_waves() issues the device programs for the upcoming subtree,
+    absorb() memoizes fetched scores, replay() advances the serial loop
+    until it needs an unscored matrix (or finishes, setting best_q)."""
+
+    def __init__(self, proc, jpg_in, downsample, best_q, img, depth=3):
+        from guetzli_tpu.search.processor import QuantMatrixGenerator
+        self.proc = proc
+        self.jpg_in = jpg_in
+        self.img = img
+        self.depth = depth
+        self.best_q_out = best_q
+        comp = proc.comparator
+        self.base_img = st.CoeffImage.from_jpeg(jpg_in)
+        self.base = comp.quant_base_upload(self.base_img)
+        self.memo = {}              # q bytes -> (score, handle, row)
+        self.qgen = QuantMatrixGenerator(downsample)
+        self.cur_q = best_q.copy()
+        self.initial = True
+        self.best = None
+        self.done = False
+
+    def dispatch_waves(self):
+        """Dispatch one batched program per wave of unscored subtree
+        matrices; returns [(handle, chunk)] for absorb()."""
+        comp = self.proc.comparator
+        fresh, seen = [], set()
+        for q in _enumerate_subtree(self.qgen, self.cur_q, self.initial,
+                                    self.depth):
+            k = q.tobytes()
+            if k not in self.memo and k not in seen:
+                seen.add(k)
+                fresh.append(q)
+        wave = comp.quant_batch_sizes()[-1]
+        pending = []
+        for i in range(0, len(fresh), wave):
+            chunk = fresh[i:i + wave]
+            with self.proc.stats.timed("quant_device"):
+                pending.append((comp.dispatch_quant_batch(self.base, chunk),
+                                chunk))
+        return pending
+
+    def absorb(self, pending, scores_per_wave):
+        """Memoize fetched scores; scores_per_wave[i] aligns with
+        pending[i]'s chunk."""
+        for (handle, chunk), scores in zip(pending, scores_per_wave):
+            for j, q in enumerate(chunk):
+                self.memo[q.tobytes()] = (float(scores[j]), handle, j)
+
+    def replay(self):
+        """Replay serial iterations (TryQuantMatrix, :310-338) from the
+        memo: host requantization (bit-identical to the device's),
+        serialization, reference-format logging, MaybeOutput -- in the
+        serial order. Stops at a memo miss (returns False; dispatch more)
+        or at search end (returns True; best_q_out is set)."""
+        from guetzli_tpu.search.processor import (
+            _frame_type_str, quant_matrix_heuristic_score)
+        proc, comp = self.proc, self.proc.comparator
+        target_mul_high = 0.97
+        target_mul_low = 0.95
+        while True:
+            key = self.cur_q.tobytes()
+            if key not in self.memo:
+                return False
+            score, handle, row = self.memo[key]
+
+            with proc.stats.timed("quant_host"):
+                trial = self.base_img.copy()
+                trial.apply_global_quantization(self.cur_q)
+                self.img.comps = trial.comps
+                encoded = proc.output_jpeg(
+                    trial.save_to_jpeg_data(self.jpg_in))
+            proc.stats.inc("iters")
+            proc.stats.log("Iter %2d: %s quantization matrix:\n",
+                           proc.stats.counters["iters"],
+                           _frame_type_str(self.img))
+            proc.stats.log_quant(self.cur_q)
+            proc.stats.log("Iter %2d: %s GQ[%5.2f] Out[%7d]",
+                           proc.stats.counters["iters"],
+                           _frame_type_str(self.img),
+                           quant_matrix_heuristic_score(self.cur_q),
+                           len(encoded))
+            comp.set_quant_result(handle, row, score)
+            proc.stats.log(" BA[100.00%%] D[%6.4f]", comp.distance)
+            dist_ok = comp.distance_ok(target_mul_high)
+            proc.maybe_output(encoded)
+            size = len(encoded)
+
+            if self.initial:
+                self.best = (self.cur_q.copy(), dist_ok, size)
+                self.initial = False
+            else:
+                self.qgen.add(self.cur_q, dist_ok)
+                better = ((dist_ok and not self.best[1])
+                          or (dist_ok == self.best[1]
+                              and size < self.best[2]))
+                if better:
+                    self.best = (self.cur_q.copy(), dist_ok, size)
+                    if dist_ok and not comp.distance_ok(target_mul_low):
+                        break
+            qn = self.qgen.get_next()
+            if qn is None:
+                break
+            self.cur_q = qn
+        self.best_q_out[:] = self.best[0]
+        self.done = True
+        return True
+
+
 def select_quant_matrix_tree(proc, jpg_in, downsample, best_q, img,
                              depth=3):
     """Drop-in replacement for Processor.select_quant_matrix using wave
     evaluation. Requires comparator.supports_quant_batch()."""
-    from guetzli_tpu.search.processor import (QuantMatrixGenerator,
-                                              quant_matrix_heuristic_score)
+    sm = TreeQuantSearch(proc, jpg_in, downsample, best_q, img, depth)
     comp = proc.comparator
-    base_img = st.CoeffImage.from_jpeg(jpg_in)
-    base = comp.quant_base_upload(base_img)
+    while not sm.done:
+        pending = sm.dispatch_waves()
+        with proc.stats.timed("quant_device"):
+            scores = [comp.fetch_quant_scores(h) for h, _ in pending]
+        sm.absorb(pending, scores)
+        sm.replay()
+    return sm.best[1]
 
-    memo = {}                       # q bytes -> (score, handle, row)
 
-    def ensure(qs):
-        fresh, seen = [], set()
-        for q in qs:
-            k = q.tobytes()
-            if k not in memo and k not in seen:
-                seen.add(k)
-                fresh.append(q)
-        wave = comp.quant_batch_sizes()[-1]
-        for i in range(0, len(fresh), wave):
-            chunk = fresh[i:i + wave]
-            with proc.stats.timed("quant_device"):
-                handle = comp.dispatch_quant_batch(base, chunk)
-                scores = comp.fetch_quant_scores(handle)
-            for j, q in enumerate(chunk):
-                memo[q.tobytes()] = (scores[j], handle, j)
+def lockstep_select_quant_matrix_tree(procs, jpgs, downsamples, best_qs,
+                                      imgs, depth=3):
+    """Corpus quant search in lockstep rounds: per round, every active
+    image dispatches its subtree waves (768 B of quant matrices each --
+    the base coefficients are device-resident), then ALL score arrays are
+    pulled in one combined device_get, then each image replays its serial
+    iterations. Per-image decision sequences, logs and MaybeOutput order
+    are identical to the serial tree search (which is identical to the
+    serial loop). Returns the per-image dist_ok list."""
+    import jax
 
-    qgen = QuantMatrixGenerator(downsample)
-    target_mul_high = 0.97
-    target_mul_low = 0.95
-    cur_q = best_q.copy()
-    initial = True
-    best = None
+    sms = [TreeQuantSearch(p, j, d, q, i, depth)
+           for p, j, d, q, i in zip(procs, jpgs, downsamples, best_qs,
+                                    imgs)]
     while True:
-        key = cur_q.tobytes()
-        if key not in memo:
-            ensure(_enumerate_subtree(qgen, cur_q, initial, depth))
-        score, handle, row = memo[key]
-
-        # Replay one serial iteration (TryQuantMatrix, :310-338): host
-        # requantization (bit-identical to the device's), serialization,
-        # reference-format logging, MaybeOutput -- in the serial order.
-        with proc.stats.timed("quant_host"):
-            trial = base_img.copy()
-            trial.apply_global_quantization(cur_q)
-            img.comps = trial.comps
-            encoded = proc.output_jpeg(trial.save_to_jpeg_data(jpg_in))
-        proc.stats.inc("iters")
-        from guetzli_tpu.search.processor import _frame_type_str
-        proc.stats.log("Iter %2d: %s quantization matrix:\n",
-                       proc.stats.counters["iters"], _frame_type_str(img))
-        proc.stats.log_quant(cur_q)
-        proc.stats.log("Iter %2d: %s GQ[%5.2f] Out[%7d]",
-                       proc.stats.counters["iters"], _frame_type_str(img),
-                       quant_matrix_heuristic_score(cur_q), len(encoded))
-        comp.set_quant_result(handle, row, score)
-        proc.stats.log(" BA[100.00%%] D[%6.4f]", comp.distance)
-        dist_ok = comp.distance_ok(target_mul_high)
-        proc.maybe_output(encoded)
-        size = len(encoded)
-
-        if initial:
-            best = (cur_q.copy(), dist_ok, size)
-            initial = False
-        else:
-            qgen.add(cur_q, dist_ok)
-            better = ((dist_ok and not best[1])
-                      or (dist_ok == best[1] and size < best[2]))
-            if better:
-                best = (cur_q.copy(), dist_ok, size)
-                if dist_ok and not comp.distance_ok(target_mul_low):
-                    break
-        qn = qgen.get_next()
-        if qn is None:
+        active = [s for s in sms if not s.done]
+        if not active:
             break
-        cur_q = qn
-    best_q[:] = best[0]
-    return best[1]
+        pend = [(s, s.dispatch_waves()) for s in active]
+        # One combined pull for every wave of every image this round.
+        flat = [h for _s, p in pend for h, _c in p]
+        pulled = jax.device_get([h[0] for h in flat])
+        scores_by_handle = {}
+        for (handle, pulled_scores) in zip(flat, pulled):
+            b = handle[2]
+            scores_by_handle[id(handle)] = (
+                np.asarray(pulled_scores)[:b].astype(np.float64))
+        for s, p in pend:
+            s.absorb(p, [scores_by_handle[id(h)] for h, _c in p])
+            s.replay()
+    return [s.best[1] for s in sms]
