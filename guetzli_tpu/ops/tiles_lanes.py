@@ -212,6 +212,43 @@ _CSF_MASK.ravel()[4:37] = 1.0
 _CSF_D = np.ascontiguousarray(_CSF64 * _CSF_MASK)
 
 
+def _quad_mat():
+    """64x64 PSD matrix Q with t^T Q t == sum_f csf_d[f] * |DFT2(t)_f|^2
+    exactly (in exact arithmetic): the x/z AC terms of
+    ButteraugliBlockDiff are quadratic in the tile, so the 2 full FFTs +
+    CSF weighting collapse into ONE 64-contraction matmul per channel --
+    real MXU work instead of ~500 stacked vector ops. Built in float64;
+    f32 evaluation differs from the FFT path only in rounding."""
+    u = np.arange(8)
+    wc = np.exp(-2j * np.pi * np.outer(u, u) / 8.0)
+    # F[u*8+v, y*8+x] = W[u, x] * W[v, y]  (see _fft8_sq_lanes layout).
+    f = np.einsum('ux,vy->uvyx', wc, wc).reshape(64, 64)
+    d = _CSF_D.ravel().astype(np.float64)
+    q = (f.conj().T * d) @ f
+    return np.ascontiguousarray(
+        np.real(q) * np.float64(consts.FFT_GLOBAL_MUL)).astype(np.float32)
+
+
+_QUAD_Q = _quad_mat()
+
+
+def _use_quad():
+    """Quadratic-form x/z AC evaluation (GUETZLI_TPU_LANES_QUAD=1).
+    Off by default pending the hardware A/B + bitwise batch-independence
+    check (tools/zeroing_ab.py --quad)."""
+    import os
+    return os.environ.get("GUETZLI_TPU_LANES_QUAD", "0") != "0"
+
+
+def _quad_ac(t):
+    """[8, 8, N] tile -> [N] weighted AC energy via the quadratic form."""
+    tf = t.reshape(64, -1).astype(jnp.float32)
+    qt = jax.lax.dot_general(jnp.asarray(_QUAD_Q), tf,
+                             dimension_numbers=(((1,), (0,)), ((), ())),
+                             precision=_HI)
+    return jnp.sum(tf * qt, axis=0)
+
+
 def _fft8_sq_lanes(x):
     """|2-D DFT|^2 of real [8(y), 8(x), N] -> [8(xf), 8(yf), N] with the
     global scale (ButteraugliFFTSquared, butteraugli.cc:574-597)."""
@@ -253,17 +290,23 @@ def block_diff_lanes(b0, b1, csfd=None):
     bavg = (b0 + b1) * 0.5
     bhd = (b0 - b1) * 0.5
     y_avg = _fft8_sq_lanes(bavg[1])
-    x_hd = _fft8_sq_lanes(bhd[0])
     y_hd = _fft8_sq_lanes(bhd[1])
-    z_hd = _fft8_sq_lanes(bhd[2])
 
     d = jnp.asarray(_CSF_D) if csfd is None else csfd
 
     def wsum(x):                                   # [8, 8, N] -> [N]
         return jnp.sum(jnp.sum(d * x, axis=0), axis=0)
 
-    ac_x = wsum(x_hd) * np.float32(consts.BLOCKDIFF_AC_XMUL)
-    ac_z = wsum(z_hd) * np.float32(consts.BLOCKDIFF_AC_ZMUL)
+    if csfd is None and _use_quad():
+        # x/z AC terms as quadratic forms (see _quad_mat): skips 2 of the
+        # 4 FFTs and their CSF reductions.
+        ac_x = _quad_ac(bhd[0]) * np.float32(consts.BLOCKDIFF_AC_XMUL)
+        ac_z = _quad_ac(bhd[2]) * np.float32(consts.BLOCKDIFF_AC_ZMUL)
+    else:
+        ac_x = wsum(_fft8_sq_lanes(bhd[0])) \
+            * np.float32(consts.BLOCKDIFF_AC_XMUL)
+        ac_z = wsum(_fft8_sq_lanes(bhd[2])) \
+            * np.float32(consts.BLOCKDIFF_AC_ZMUL)
 
     rng = np.float32(consts.BLOCKDIFF_Y_LIMIT)
     ya = jnp.sqrt(y_avg)

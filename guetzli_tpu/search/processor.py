@@ -651,6 +651,8 @@ class Processor:
                 # per block, candidates [last_index, num) for up or
                 # [last_index) reversed for down, valued by error delta over
                 # block weight.
+                _t_order = self.stats.timed("backend_order")
+                _t_order.__enter__()
                 block_weight = None
                 order_blocks = order_vals = None
                 blocks_to_change = 0
@@ -698,11 +700,13 @@ class Processor:
                                       * (err - mbe) / bwt)
                         break
                 if order_blocks is None:
+                    _t_order.__exit__(None, None, None)
                     break
 
                 sort_ix = np.argsort(order_vals, kind="stable")
                 order_blocks = order_blocks[sort_ix]
                 order_vals = order_vals[sort_ix]
+                _t_order.__exit__(None, None, None)
 
                 rel_size_delta = 0.01 if direction > 0 else 0.0005
                 if direction > 0 and self.comparator.distance_ok(1.0):
@@ -764,7 +768,8 @@ class Processor:
                         .dispatch_compare_with_weights(
                             img, direction, target_mul, factor,
                             factor)  # noqa: E731
-                pending = dispatch()
+                with self.stats.timed("backend_dispatch"):
+                    pending = dispatch()
                 with self.stats.timed("backend_serialize"):
                     if (not can_collapse and os.environ.get(
                             "GUETZLI_TPU_NO_INCR_SAVE") != "1"):

@@ -31,11 +31,15 @@ sys.path.insert(0, REPO)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dot", action="store_true")
+    ap.add_argument("--quad", action="store_true",
+                    help="quadratic-form x/z AC (GUETZLI_TPU_LANES_QUAD)")
     ap.add_argument("--out", default="")
     ap.add_argument("--reps", type=int, default=20)
     args = ap.parse_args()
     if args.dot:
         os.environ["GUETZLI_TPU_LANES_DOT"] = "1"
+    if args.quad:
+        os.environ["GUETZLI_TPU_LANES_QUAD"] = "1"
 
     import jax
     import jax.numpy as jnp
@@ -66,7 +70,7 @@ def main():
     nb = int(xyb0_tiles.shape[0])
 
     out = {"backend": jax.default_backend(),
-           "dot": bool(args.dot), "nb": nb}
+           "dot": bool(args.dot), "quad": bool(args.quad), "nb": nb}
 
     def timed(fn, *a):
         r = fn(*a)
