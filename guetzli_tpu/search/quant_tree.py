@@ -167,6 +167,10 @@ class TreeQuantSearch:
                 break
             self.cur_q = qn
         self.best_q_out[:] = self.best[0]
+        # Each memoized wave handle pins its [B, Hp, Wp] diffmap stack on
+        # the device (~250 MB/wave at 8 MPix); the adopted distmap was
+        # already sliced out by set_quant_result, so the handles can go.
+        self.memo.clear()
         self.done = True
         return True
 
