@@ -239,6 +239,26 @@ def _quant_batch_420_dyn(ybase, ubase, vbase, qs, xyb0, target, w, h, sc,
 
 
 @partial(jax.jit, static_argnames=_DYN_STATICS_444, donate_argnums=(0,))
+def _scatter_coeff_compare_444_dyn(coeffs, cidx, cvals, xyb0, target, w, h,
+                                   sc, bwp, bhp, wp, hp, sizex, sizey,
+                                   gbwp, gbhp, direction_pos):
+    """Per-COEFFICIENT variant of _scatter_compare_444_dyn: cidx [M] flat
+    indexes into the [3, NBp, 64] state (c*NBp*64 + bp*64 + k; pad rows
+    carry an out-of-range index and are dropped), cvals [M] int32 new
+    values. A back-end iteration typically flips a few coefficients per
+    changed block, so shipping (index, value) pairs cuts the per-iteration
+    upload ~24-96x vs whole 3x64 blocks -- decisive through a tunnel
+    whose H2D bandwidth, not the chip, bounds the loop."""
+    shape = coeffs.shape
+    new = coeffs.reshape(-1).at[cidx].set(cvals, mode="drop").reshape(shape)
+    s, d, w4 = _cw444_dyn_core(
+        new, xyb0, target, w, h, sc, bwp=bwp, bhp=bhp, wp=wp, hp=hp,
+        sizex=sizex, sizey=sizey, gbwp=gbwp, gbhp=gbhp,
+        direction_pos=direction_pos)
+    return new, s, d, w4
+
+
+@partial(jax.jit, static_argnames=_DYN_STATICS_444, donate_argnums=(0,))
 def _scatter_compare_444_dyn(coeffs, bidx, bvals, xyb0, target, w, h, sc,
                              bwp, bhp, wp, hp, sizex, sizey, gbwp, gbhp,
                              direction_pos):
@@ -600,9 +620,51 @@ class Comparator:
         self._dev_grid = (img.bw, img.bh)
 
     def supports_sparse(self, img, comp_mask):
+        # Sparse handles bypass the lockstep CompareBatcher by design
+        # (per-image device-resident state); the corpus driver completes
+        # them through fetch_compare_many, so a set batcher is no longer
+        # an exclusion -- full-plane re-uploads per iteration were the
+        # corpus back-end's dominant tunnel cost.
         return (self.geom is not None and self.mesh is None
-                and self.batcher is None and comp_mask == 7
-                and img.is_444())
+                and comp_mask == 7 and img.is_444())
+
+    # Fixed changed-coefficient counts for the per-coefficient delta
+    # path: one scatter+compare program per (bucket, M).
+    _SPARSE_COEFF_SIZES = (2048, 16384, 131072)
+
+    def dispatch_compare_sparse_coeffs(self, img, blocks_idx, cks, vals,
+                                       direction, target_mul,
+                                       factor_x, factor_y):
+        """Per-coefficient variant of dispatch_compare_sparse: the flip
+        loop's exact (block, c*64+k, new value) triplets, ~8 bytes per
+        flipped coefficient instead of 772 per changed block. Returns
+        None when the update is too large for the coefficient buckets
+        (caller falls back to the block path / full sync)."""
+        g = self.geom
+        bw, _bh = self._dev_grid
+        m = len(blocks_idx)
+        if m > self._SPARSE_COEFF_SIZES[-1]:
+            return None
+        nbp = g.bwp * g.bhp
+        mp = next(s for s in self._SPARSE_COEFF_SIZES if s >= max(m, 1))
+        cidx = np.full(mp, 3 * nbp * 64, dtype=np.int32)   # OOB = dropped
+        cvals = np.zeros(mp, dtype=np.int32)
+        if m:
+            bp = (blocks_idx // bw) * g.bwp + blocks_idx % bw
+            cidx[:m] = ((cks >> 6) * (nbp * 64) + bp * 64
+                        + (cks & 63)).astype(np.int32)
+            cvals[:m] = vals
+        sizex, sizey = 8 * factor_x, 8 * factor_y
+        statics = dict(bwp=g.bwp, bhp=g.bhp, wp=g.wp, hp=g.hp,
+                       sizex=sizex, sizey=sizey,
+                       gbwp=g.wp // sizex, gbhp=g.hp // sizey,
+                       direction_pos=direction > 0)
+        new, score, dmap, w4 = _scatter_coeff_compare_444_dyn(
+            self._dev_coeffs, jnp.asarray(cidx), jnp.asarray(cvals),
+            self.xyb0, jnp.float32(self.target_distance * target_mul),
+            *self._wh, self._sc, **statics)
+        self._dev_coeffs = new
+        return (score, dmap, w4, (factor_x, factor_y))
 
     def dispatch_compare_sparse(self, img, changed, direction, target_mul,
                                 factor_x, factor_y):

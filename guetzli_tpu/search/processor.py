@@ -759,10 +759,37 @@ class Processor:
                 changed = np.nonzero(last_indexes != li_before)[0]
                 # Overlap the device round trip with host serialization.
                 if use_sparse:
-                    dispatch = lambda: self.comparator \
-                        .dispatch_compare_sparse(
-                            img, changed, direction, target_mul,
-                            factor, factor)  # noqa: E731
+                    # Exact flipped-coefficient triplets (the flip loop
+                    # advanced last_indexes through these CSR positions;
+                    # values re-read from the post-flip host state):
+                    # ~8 B per flipped coefficient on the wire instead of
+                    # 772 B per changed block.
+                    lo = np.minimum(li_before, last_indexes)[changed]
+                    cnt = (np.maximum(li_before, last_indexes)[changed]
+                           - lo)
+                    tot = int(cnt.sum())
+                    bs = np.repeat(changed, cnt)
+                    within = (np.arange(tot, dtype=np.int64)
+                              - np.repeat(np.cumsum(cnt) - cnt, cnt))
+                    slots = cand_idx[
+                        np.repeat(clamped_off[changed] + lo, cnt)
+                        + within]
+                    vals = np.empty(tot, np.int32)
+                    for _ch in range(3):
+                        _m = (slots >> 6) == _ch
+                        if _m.any():
+                            vals[_m] = img.comps[_ch].coeffs[
+                                bs[_m], slots[_m] & 63]
+
+                    def dispatch():
+                        h = self.comparator.dispatch_compare_sparse_coeffs(
+                            img, bs, slots, vals, direction, target_mul,
+                            factor, factor)
+                        if h is None:
+                            h = self.comparator.dispatch_compare_sparse(
+                                img, changed, direction, target_mul,
+                                factor, factor)
+                        return h
                 else:
                     dispatch = lambda: self.comparator \
                         .dispatch_compare_with_weights(

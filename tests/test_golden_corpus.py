@@ -27,7 +27,16 @@ def _rows():
         rows.append((name, int(q), int(size)))
     if os.environ.get("GUETZLI_TPU_GOLDEN_FULL") == "1":
         return rows
-    return rows[::11]                     # ~11-row spread sample
+    # Spread sample. The >=1 MPix photo_mosaic rows cost minutes each on
+    # the CPU test backend, so the default sample takes the (natural
+    # photo) hopper row instead; the mosaics run via
+    # `tools/golden_corpus.py run --match photo` (banked log) and under
+    # GUETZLI_TPU_GOLDEN_FULL=1.
+    fast = [r for r in rows if "photo_mosaic" not in r[0]]
+    sample = fast[::11]
+    if not any("photo" in r[0] for r in sample):
+        sample += [r for r in rows if r[0] == "photo_hopper.png"]
+    return sample
 
 
 @pytest.mark.parametrize("name,q,ref_size", _rows())
