@@ -41,8 +41,9 @@ from guetzli_tpu.ops.blur import blur_matrix
 
 # Tiles per grid step. At 256 the Mosaic register allocator's spill
 # slots alone need 128.82 MB of VMEM -- 836 KB over the v5e's 128 MB
-# (tpu_r03 bisect); 128 halves the spill footprint and fits.
-TILE = 128
+# (tpu_r03 bisect); 128 halves the spill footprint and fits the raised
+# scoped-VMEM budget (see _tile_compare_pallas). Tunable while measuring.
+TILE = int(os.environ.get("GUETZLI_TPU_PALLAS_TILE", "128"))
 
 # Dot-based contraction lowering (smaller MLIR for the AOT Mosaic helper);
 # numerically equivalent within f32 rounding of the unrolled-FMA default.
@@ -413,9 +414,18 @@ def _tile_compare_pallas(cand, xyb0_tiles, scales, sy, sx,
     n = cand.shape[0]
     assert n % TILE == 0, n
     grid = (n // TILE,)
+    # The r03 bisect localized the Mosaic failure precisely: every stage
+    # of this kernel compiles but needs ~64 MB of scoped VMEM scratch at
+    # TILE=128 against the 16 MB default ("Scoped allocation ... exceeded
+    # scoped vmem limit"). vmem_limit_bytes raises the budget; v5e has
+    # 128 MB of VMEM. Tunable while measuring (GUETZLI_TPU_PALLAS_VMEM_MB).
+    import os
+    vmem_mb = int(os.environ.get("GUETZLI_TPU_PALLAS_VMEM_MB", "100"))
+    params = pltpu.CompilerParams(vmem_limit_bytes=vmem_mb << 20)
     out = pl.pallas_call(
         _kernel,
         grid=grid,
+        compiler_params=params,
         in_specs=[
             pl.BlockSpec((TILE, 3, 8, 8), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),

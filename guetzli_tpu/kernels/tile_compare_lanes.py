@@ -30,7 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from guetzli_tpu.ops import tiles_lanes as tl
 
-TILE_N = 512    # blocks per grid step (4 lane tiles)
+import os
+
+TILE_N = int(os.environ.get("GUETZLI_TPU_PALLAS_TILE_N", "512"))
+# blocks per grid step (default 4 lane tiles)
 
 
 def _kernel(cand_ref, xyb0_ref, scales_ref, ymax_ref, xmax_ref, csfd_ref,
@@ -81,9 +84,15 @@ def _tile_compare_lanes(cand_t, xyb0_t, scales_t, ymax2, xmax2,
     n = cand_t.shape[-1]
     assert n % TILE_N == 0, n
     grid = (n // TILE_N,)
+    # Raised scoped-VMEM budget (the r03 bisect's blocker class for the
+    # sibling kernel; see tile_compare._tile_compare_pallas).
+    import os
+    vmem_mb = int(os.environ.get("GUETZLI_TPU_PALLAS_VMEM_MB", "100"))
     out = pl.pallas_call(
         _kernel,
         grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb << 20),
         in_specs=[
             pl.BlockSpec((3, 8, 8, TILE_N), lambda i: (0, 0, 0, i),
                          memory_space=pltpu.VMEM),

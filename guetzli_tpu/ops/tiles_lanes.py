@@ -262,6 +262,25 @@ def _fft8_sq_lanes(x):
     return (gr * gr + gi * gi) * np.float32(consts.FFT_GLOBAL_MUL)
 
 
+def _sum_small_axis(x, axis, n):
+    """Unrolled sum over a small non-lane axis. Mosaic rejects
+    vector.multi_reduction (ADD) over dimensions whose vector layout has
+    nonzero offsets (the bisect's blocker for the fused lanes kernel);
+    an explicit slice-add chain is layout-agnostic -- and fixes the
+    accumulation order, like _mat_axis."""
+    xs = [jax.lax.index_in_dim(x, i, axis, keepdims=False)
+          for i in range(n)]
+    acc = xs[0]
+    for v in xs[1:]:
+        acc = acc + v
+    return acc
+
+
+def _mean8_axis1(x):
+    """[C, 8, N] -> [C, N] mean over the 8-axis."""
+    return _sum_small_axis(x, 1, 8) * np.float32(0.125)
+
+
 def block_diff_lanes(b0, b1, csfd=None):
     """ButteraugliBlockDiff (butteraugli.cc:602-684) on [3, 8, 8, N]
     tiles-last pairs -> (diff_dc, diff_ac, diff_edge), each [3, N].
@@ -272,15 +291,15 @@ def block_diff_lanes(b0, b1, csfd=None):
     csf0 = np.float32(consts.CSF8X8[0])
     diff = b0 - b1                                 # [3, 8, 8, N]
 
-    avg = jnp.mean(jnp.mean(diff, axis=1), axis=1)  # [3, N]
+    avg = _mean8_axis1(_mean8_axis1(diff))         # [3, N]
     dcx, dcy, dcz = bd.xyb_diff_low_freq_squared(avg[0], avg[1], avg[2])
     diff_dc = jnp.stack([dcx, dcy, dcz], axis=0) * csf0
 
     edges = jnp.stack([
-        jnp.mean(diff[:, :, 0, :], axis=1),
-        jnp.mean(diff[:, 0, :, :], axis=1),
-        jnp.mean(diff[:, :, 7, :], axis=1),
-        jnp.mean(diff[:, 7, :, :], axis=1),
+        _mean8_axis1(diff[:, :, 0, :]),
+        _mean8_axis1(diff[:, 0, :, :]),
+        _mean8_axis1(diff[:, :, 7, :]),
+        _mean8_axis1(diff[:, 7, :, :]),
     ], axis=1)                                     # [3, 4, N]
     ex, ey, ez = bd.xyb_diff_low_freq_squared(edges[0], edges[1],
                                               edges[2])

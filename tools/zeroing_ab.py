@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--dot", action="store_true")
     ap.add_argument("--quad", action="store_true",
                     help="quadratic-form x/z AC (GUETZLI_TPU_LANES_QUAD)")
+    ap.add_argument("--pallas", action="store_true",
+                    help="also time the fused lane-major Pallas kernel "
+                         "(compiled, not interpret) on the same inputs")
     ap.add_argument("--out", default="")
     ap.add_argument("--reps", type=int, default=20)
     args = ap.parse_args()
@@ -133,6 +136,55 @@ def main():
         except Exception:
             pass
         out[tag] = row
+
+    if args.pallas:
+        from guetzli_tpu.kernels.tile_compare_lanes import (
+            TILE_N, tile_compare_pallas_lanes)
+        for rep, tag in ((3, "bees"), (27, "mpix1")):
+            cand, _aux_t = make_inputs(rep)
+            n = int(cand.shape[0])
+            npad = (-n) % TILE_N
+            if npad:
+                cand = jnp.concatenate(
+                    [cand, jnp.zeros((npad, 3, 64), cand.dtype)])
+            r = lambda a, k=npad: jnp.concatenate(  # noqa: E731
+                [jnp.asarray(a)] * rep
+                + ([jnp.zeros((k,) + np.asarray(a).shape[1:],
+                              np.asarray(a).dtype)] if k else []))
+            aux = (r(xyb0_tiles), r(scales), r(ysel), r(xsel))
+            fn = lambda: tile_compare_pallas_lanes(  # noqa: E731
+                cand, *aux, interpret=False)
+            try:
+                ms = timed(lambda *_: fn())
+                # Cross-check vs the XLA lane-major path on real rows.
+                ek = np.asarray(fn())[:n]
+                c2, aux_t2 = make_inputs(rep)
+                ex = np.asarray(full(c2, *aux_t2))[:n]
+                dev = float(np.abs(ek - ex).max())
+                out["pallas_%s" % tag] = {
+                    "tiles": n + npad, "ms": round(ms, 3),
+                    "max_abs_dev_vs_xla": dev}
+            except Exception as e:
+                out["pallas_%s" % tag] = {"error": str(e)[-600:]}
+                break
+
+    # Host->device and device->host tunnel bandwidth: the 8 MPix capture
+    # suggests uploads (~MB/s through the tunnel) dominate the untimed
+    # back-end host work; this pins the number.
+    bw_rows = {}
+    for mb in (1, 8, 32):
+        a = np.zeros(mb << 20, np.uint8)
+        jax.block_until_ready(jnp.asarray(a))          # warm path
+        t0 = time.time()
+        d = jnp.asarray(a)
+        jax.block_until_ready(d)
+        up = time.time() - t0
+        t0 = time.time()
+        np.asarray(d)
+        down = time.time() - t0
+        bw_rows["h2d_%dmb_mb_s" % mb] = round(mb / up, 1)
+        bw_rows["d2h_%dmb_mb_s" % mb] = round(mb / down, 1)
+    out["bandwidth"] = bw_rows
 
     # Batch-size independence: the first nb tiles are identical content
     # at rep=3 and rep=27; their errors must match bitwise for the
