@@ -218,6 +218,21 @@ def run_checkcl(rgb, w, h) -> int:
     except Exception as e:  # Mosaic lowering unsupported on this backend
         sys.stderr.write(f"checkcl tile_compare(pallas): SKIPPED ({e})\n")
 
+    # Alternative path 1b: the lane-major fused Pallas kernel (the
+    # formulation the Mosaic AOT toolchain compiles on TPU; on CPU it
+    # falls back to interpret mode inside tile_compare_pallas_lanes).
+    from guetzli_tpu.kernels import tile_compare_lanes as tcl
+    nl = ((nb + tcl.TILE_N - 1) // tcl.TILE_N) * tcl.TILE_N
+    try:
+        got = tcl.tile_compare_pallas_lanes(
+            jnp.asarray(pad(cand, nl)), jnp.asarray(pad(xyb0_tiles, nl)),
+            jnp.asarray(pad(scales, nl)), jnp.asarray(pad(ysel, nl)),
+            jnp.asarray(pad(xsel, nl)))[:nb]
+        total += _report("tile_compare(pallas_lanes)", got, want)
+    except Exception as e:
+        sys.stderr.write(
+            f"checkcl tile_compare(pallas_lanes): SKIPPED ({e})\n")
+
     # Alternative path 2: ppermute halo-exchange sharded blur vs
     # single-device blur (exercises the multi-chip collective path).
     ndev = len(jax.devices())

@@ -429,6 +429,10 @@ class Processor:
                                                 np.asarray(xsel))
                 return "444p", (xyb0_tiles, scales, jnp.asarray(sy),
                                 jnp.asarray(sx))
+            if os.environ.get("GUETZLI_TPU_PALLAS") == "2":
+                # Lane-major fused Pallas kernel (Mosaic-compiling
+                # formulation, kernels/tile_compare_lanes.py).
+                return "444pl", (xyb0_tiles, scales, ysel, xsel)
             if os.environ.get("GUETZLI_TPU_LANES", "1") != "0":
                 # Lane-major evaluation (ops/tiles_lanes.py): same aux
                 # arrays; the zeroing stage transposes them once.

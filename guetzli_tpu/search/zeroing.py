@@ -86,6 +86,20 @@ def _eval_dispatch(mode, cand, aux, lookahead):
         errs = tc.tile_compare_pallas(
             pad(cand), pad(xyb0_tiles), pad(scales), pad(sy), pad(sx))
         return errs[:n]
+    if mode == "444pl":
+        # Fused lane-major Pallas kernel (the Mosaic-compiling
+        # formulation; GUETZLI_TPU_PALLAS=2). aux stays blocks-leading;
+        # the wrapper transposes to tiles-last per call (fused by XLA
+        # around the pallas_call).
+        from guetzli_tpu.kernels import tile_compare_lanes as tcl
+        xyb0_tiles, scales, ysel, xsel = aux
+        n = cand.shape[0]
+        npad = (-n) % tcl.TILE_N
+        pad = lambda a: jnp.concatenate(
+            [a, jnp.zeros((npad,) + a.shape[1:], a.dtype)]) if npad else a
+        errs = tcl.tile_compare_pallas_lanes(
+            pad(cand), pad(xyb0_tiles), pad(scales), pad(ysel), pad(xsel))
+        return errs[:n]
     if mode == "420y":
         chroma_bytes, xyb0_tiles, scales, ysel, xsel = aux
         return tile_ops.compare_blocks_420y(

@@ -88,3 +88,32 @@ def test_pallas_lanes_matches_xla(setup):
         jnp.asarray(_pad(np.asarray(xsel), n)),
         interpret=True))[:nb]
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=2e-3)
+
+
+def test_zeroing_mode_444pl_matches_444l(setup):
+    """The production zeroing driver with mode '444pl' (fused lane-major
+    Pallas kernel, GUETZLI_TPU_PALLAS=2) reproduces the '444l' XLA path's
+    zeroing order on the same inputs (interpret mode on CPU). The order
+    is argmin-driven, so agreement here is stronger than elementwise
+    tolerance: every greedy decision must match."""
+    import jax.numpy as jnp
+
+    from guetzli_tpu.search import zeroing
+
+    cand, xyb0_tiles, scales, ysel, xsel = setup
+    blocks = jnp.asarray(cand)
+    aux = (jnp.asarray(xyb0_tiles), jnp.asarray(scales),
+           jnp.asarray(ysel), jnp.asarray(xsel))
+    limit = jnp.float32(1.0)
+    idx_l, err_l, num_l = zeroing.compute_zeroing_order_with(
+        blocks, blocks, limit, aux, "444l", 7, lookahead=3)
+    idx_p, err_p, num_p = zeroing.compute_zeroing_order_with(
+        blocks, blocks, limit, aux, "444pl", 7, lookahead=3)
+    np.testing.assert_array_equal(np.asarray(num_l), np.asarray(num_p))
+    # Decisions must agree wherever the error is below the cutoff.
+    nl = np.asarray(num_l)
+    il, ip = np.asarray(idx_l), np.asarray(idx_p)
+    for b in range(il.shape[0]):
+        np.testing.assert_array_equal(il[b, :nl[b]], ip[b, :nl[b]])
+    np.testing.assert_allclose(np.asarray(err_l), np.asarray(err_p),
+                               rtol=5e-3, atol=2e-3)
