@@ -970,14 +970,22 @@ class Comparator:
             self.distance = score
             self.distmap = dmap
             return self.distance, self._unpad_w4(w4_np, *handle[2])
+        d, w4_np, dmap = self.fetch_compare_pure(handle)
+        self.distance = d
+        self.distmap = dmap
+        return d, w4_np
+
+    def fetch_compare_pure(self, handle):
+        """fetch_compare without comparator side effects: safe to call
+        from a prefetch thread (the pipelined back-end driver applies the
+        distance/distmap updates on the main thread at its deterministic
+        join point). Returns (distance, weights4, device_distmap)."""
         score, dmap, w4, factors = handle
         score_np, w4_np = jax.device_get((score, w4))
-        self.distance = float(score_np)
-        self.distmap = dmap
         w4_np = np.asarray(w4_np)
         if factors is not None:
             w4_np = self._unpad_w4(w4_np, *factors)
-        return self.distance, w4_np
+        return float(score_np), w4_np, dmap
 
     def compare_img_with_weights(self, img, direction, target_mul,
                                  factor_x, factor_y):

@@ -101,6 +101,28 @@ class ProcessStats:
             sys.stderr.write("  " + row + "\n")
 
 
+def _backend_pipeline_lag(comparator):
+    """Pipeline depth for the back-end up/down loop.
+
+    Lag N >= 1 builds iteration k's candidate order from the weights of
+    compare k-N (prefetched in the background) instead of synchronizing on
+    compare k-1: the per-iteration tunnel round trip overlaps host work.
+    Every iteration's serialized output is still scored with its own
+    fetched distance before MaybeOutput, so output *selection* keeps the
+    reference semantics (processor.cc:723-919); only the error-adjustment
+    weights lag by N flip waves. Default: lag 1 on accelerators (the
+    round trip dominates, see NOTES.md RTT analysis), 0 (exact, fully
+    synchronous) on the CPU backend. GUETZLI_TPU_PIPELINE overrides.
+    """
+    import jax
+    env = os.environ.get("GUETZLI_TPU_PIPELINE")
+    if env is not None:
+        return max(0, int(env))
+    if jax.default_backend() == "cpu":
+        return 0
+    return 1
+
+
 def compare_quant_matrices(a, b):
     """processor.cc:168-190 lexicographic dominance compare on [192]."""
     a = a.reshape(-1)
@@ -567,10 +589,15 @@ class Processor:
     def select_frequency_back_end(self, jpg, img: st.CoeffImage, comp_mask,
                                   target_mul, stop_early,
                                   offsets, cand_idx, cand_err):
-        """Serial driver for back_end_steps: fetch each yielded compare
-        immediately (with crash recovery)."""
+        """Driver for back_end_steps: serial (fetch each yielded compare
+        immediately, with crash recovery) or pipelined (prefetch-thread
+        lag-N protocol) depending on backend/env."""
+        lag = _backend_pipeline_lag(self.comparator)
         gen = self.back_end_steps(jpg, img, comp_mask, target_mul,
-                                  stop_early, offsets, cand_idx, cand_err)
+                                  stop_early, offsets, cand_idx, cand_err,
+                                  pipelined=lag)
+        if lag:
+            return self._drive_back_end_pipelined(gen)
         result = None
         while True:
             try:
@@ -582,16 +609,77 @@ class Processor:
                 result = self._recoverable(
                     recover, self.comparator.fetch_compare, pending)
 
+    def _drive_back_end_pipelined(self, gen):
+        """Driver for the pipelined back_end_steps protocol.
+
+        On ("start", pending, recover): begin fetching the dispatched
+        compare on a prefetch thread (side-effect-free pull) so the
+        tunnel round trip overlaps the next iteration's host work.
+        On ("join",): deliver the oldest in-flight result, applying the
+        comparator's distance/distmap updates here on the main thread --
+        the join points are fixed in the generator's control flow, so
+        decisions stay deterministic regardless of fetch timing."""
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        comp = self.comparator
+        inflight = collections.deque()
+        ex = ThreadPoolExecutor(max_workers=1)
+        try:
+            msg = next(gen)
+            while True:
+                if msg[0] == "start":
+                    _tag, pending, recover = msg
+                    fut = ex.submit(comp.fetch_compare_pure, pending)
+                    inflight.append((fut, recover))
+                    msg = gen.send(None)
+                else:                                   # ("join",)
+                    fut, recover = inflight.popleft()
+                    with self.stats.timed("backend_fetch"):
+                        try:
+                            d, w4, dmap = fut.result()
+                            comp.distance = d
+                            comp.distmap = dmap
+                            result = (d, w4)
+                        except Exception as e:
+                            if "UNAVAILABLE" not in str(e):
+                                raise
+                            # Worker crash: drop the whole pipeline and
+                            # recover from the current host state (the
+                            # re-dispatched compare reflects the newest
+                            # flips -- an extra lag step, crash-only).
+                            while inflight:
+                                inflight.popleft()[0].cancel()
+                            result = self._recoverable(
+                                recover, comp.fetch_compare)
+                    msg = gen.send(result)
+        except StopIteration:
+            return
+        finally:
+            ex.shutdown(wait=True)
+
     def back_end_steps(self, jpg, img: st.CoeffImage, comp_mask,
                        target_mul, stop_early,
-                       offsets, cand_idx, cand_err):
+                       offsets, cand_idx, cand_err, pipelined=0):
         """SelectFrequencyBackEnd (processor.cc:723-919) as a generator:
         yields (pending_compare_handle, recover_dispatch) at each
         iteration's fetch point and receives the fetched (distance,
         weights4) via send(). The serial driver fetches immediately; the
         lockstep corpus driver (parallel/lockstep.py) advances every
         image's generator to its yield and pulls ALL compares in one
-        combined device_get per round."""
+        combined device_get per round.
+
+        pipelined=N (driven by _drive_back_end_pipelined) switches the
+        protocol: after each dispatch the generator yields
+        ("start", pending, recover) and continues immediately; when N
+        compares are in flight it yields ("join",) to receive the OLDEST
+        one's (distance, weights4). Iteration k's order is then built
+        from compare k-N's weights (see _backend_pipeline_lag); each
+        iteration's output is still MaybeOutput-scored with its own true
+        distance at its join. The pipeline drains fully at direction
+        switches, so the fresh weights_all_radii there reads the current
+        distmap exactly as the serial path does."""
+        import collections
         ncomp = len(jpg.components)
         width, height = img.width, img.height
         last_c = comp_mask.bit_length() - 1
@@ -646,8 +734,23 @@ class Processor:
         if use_sparse:
             self.comparator.backend_sync_full(img)
 
+        inflight = collections.deque()   # (direction, encoded) per start
         for direction in (1, -1):
+            # Direction switch: drain the pipeline so the distmap (and
+            # best-output state) is current before fresh weights.
+            while inflight:
+                d, w4 = yield ("join",)
+                dirw, enc = inflight.popleft()
+                cached_weights = (dirw, w4)
+                self.stats.log(" BA[100.00%%] D[%6.4f]", d)
+                self.maybe_output(enc)
             while True:
+                while pipelined and len(inflight) >= pipelined:
+                    d, w4 = yield ("join",)
+                    dirw, enc = inflight.popleft()
+                    cached_weights = (dirw, w4)
+                    self.stats.log(" BA[100.00%%] D[%6.4f]", d)
+                    self.maybe_output(enc)
                 if stop_early and direction == -1:
                     if prev_size > 1.01 * len(self.final.jpeg_data):
                         break
@@ -835,11 +938,21 @@ class Processor:
                     return self.comparator.dispatch_compare_with_weights(
                         img, direction, target_mul, factor, factor)
 
-                d, w4 = yield (pending, recover_dispatch)
-                cached_weights = (direction, w4)
-                self.stats.log(" BA[100.00%%] D[%6.4f]", d)
-                self.maybe_output(encoded)
+                if pipelined:
+                    inflight.append((direction, encoded))
+                    yield ("start", pending, recover_dispatch)
+                else:
+                    d, w4 = yield (pending, recover_dispatch)
+                    cached_weights = (direction, w4)
+                    self.stats.log(" BA[100.00%%] D[%6.4f]", d)
+                    self.maybe_output(encoded)
                 prev_size = est_jpg_size
+        # End of both directions: score any still-pending outputs.
+        while inflight:
+            d, w4 = yield ("join",)
+            _dirw, enc = inflight.popleft()
+            self.stats.log(" BA[100.00%%] D[%6.4f]", d)
+            self.maybe_output(enc)
 
     def _run_flips_native(self, img, jpg, bw, offsets, cand_idx, cand_err,
                           last_indexes, order_blocks, order_vals,
