@@ -228,7 +228,12 @@ def run_checkcl(rgb, w, h) -> int:
             jnp.asarray(pad(cand, nl)), jnp.asarray(pad(xyb0_tiles, nl)),
             jnp.asarray(pad(scales, nl)), jnp.asarray(pad(ysel, nl)),
             jnp.asarray(pad(xsel, nl)))[:nb]
-        total += _report("tile_compare(pallas_lanes)", got, want)
+        # The lane-major kernel's validated agreement band vs the
+        # blocks-leading XLA reference is 5e-3 (tests/test_pallas_kernel:
+        # different reduction orders); the default 1e-3 would flag
+        # spurious mismatches in a diagnostic meant for real bugs.
+        total += _report("tile_compare(pallas_lanes)", got, want,
+                         tol=5e-3)
     except Exception as e:
         sys.stderr.write(
             f"checkcl tile_compare(pallas_lanes): SKIPPED ({e})\n")

@@ -417,7 +417,8 @@ class Comparator:
         self.rgb_orig = np.asarray(rgb, dtype=np.uint8).reshape(
             height, width, 3)
         if padded is None:
-            padded = os.environ.get("GUETZLI_TPU_PAD", "1") != "0"
+            from guetzli_tpu import config
+            padded = config.current().padded
         self.geom = PadGeom(width, height) if padded else None
         if mesh is None:
             from guetzli_tpu.parallel.mesh import mesh_from_env

@@ -43,11 +43,12 @@ from guetzli_tpu.ops.blur import blur_matrix
 # slots alone need 128.82 MB of VMEM -- 836 KB over the v5e's 128 MB
 # (tpu_r03 bisect); 128 halves the spill footprint and fits the raised
 # scoped-VMEM budget (see _tile_compare_pallas). Tunable while measuring.
-TILE = int(os.environ.get("GUETZLI_TPU_PALLAS_TILE", "128"))
+from guetzli_tpu import config as _config
+TILE = _config.current().pallas_tile
 
 # Dot-based contraction lowering (smaller MLIR for the AOT Mosaic helper);
 # numerically equivalent within f32 rounding of the unrolled-FMA default.
-USE_DOT = os.environ.get("GUETZLI_TPU_PALLAS_DOT") == "1"
+USE_DOT = _config.current().pallas_dot
 
 # -- compile-time constant tables ----------------------------------------
 _IDCT = consts.IDCT_MATRIX.astype(np.int32)              # [y, u]
@@ -420,7 +421,7 @@ def _tile_compare_pallas(cand, xyb0_tiles, scales, sy, sx,
     # scoped vmem limit"). vmem_limit_bytes raises the budget; v5e has
     # 128 MB of VMEM. Tunable while measuring (GUETZLI_TPU_PALLAS_VMEM_MB).
     import os
-    vmem_mb = int(os.environ.get("GUETZLI_TPU_PALLAS_VMEM_MB", "100"))
+    vmem_mb = _config.current().pallas_vmem_mb
     params = pltpu.CompilerParams(vmem_limit_bytes=vmem_mb << 20)
     out = pl.pallas_call(
         _kernel,

@@ -32,7 +32,9 @@ from guetzli_tpu.ops import tiles_lanes as tl
 
 import os
 
-TILE_N = int(os.environ.get("GUETZLI_TPU_PALLAS_TILE_N", "512"))
+from guetzli_tpu import config as _config
+
+TILE_N = _config.current().pallas_tile_n
 # blocks per grid step (default 4 lane tiles)
 
 
@@ -55,6 +57,35 @@ def _kernel(cand_ref, xyb0_ref, scales_ref, ymax_ref, xmax_ref, csfd_ref,
     diff_edge = jnp.sum(edge * scales_t, axis=0, keepdims=True)
     w = np.float32(tl._BLOCK_EDGE_W)
     out_ref[...] = jnp.sqrt((1.0 - w) * diff + w * diff_edge)
+
+
+_MOSAIC_OK = None
+
+
+def mosaic_available():
+    """One-time probe: compile+run the kernel on a dummy tile. The
+    production zeroing path (GUETZLI_TPU_PALLAS=2) checks this before
+    committing to the fused kernel so a Mosaic lowering failure on an
+    unexpected backend degrades to the XLA lane-major path with a
+    warning instead of crashing mid-encode."""
+    global _MOSAIC_OK
+    if _MOSAIC_OK is None:
+        try:
+            cand = jnp.zeros((TILE_N, 3, 64), jnp.int32)
+            x0 = jnp.zeros((TILE_N, 3, 64), jnp.float32)
+            sc = jnp.ones((TILE_N, 3), jnp.float32)
+            sel = jnp.zeros((TILE_N, 8), jnp.int32)
+            jax.block_until_ready(
+                tile_compare_pallas_lanes(cand, x0, sc, sel, sel))
+            _MOSAIC_OK = True
+        except Exception as e:                      # noqa: BLE001
+            import sys
+            sys.stderr.write(
+                "Pallas lane kernel unavailable on this backend (%s); "
+                "falling back to the XLA lane-major path\n"
+                % str(e).splitlines()[0][:200])
+            _MOSAIC_OK = False
+    return _MOSAIC_OK
 
 
 def tile_compare_pallas_lanes(cand, xyb0_tiles, scales, ysel, xsel,
@@ -86,8 +117,7 @@ def _tile_compare_lanes(cand_t, xyb0_t, scales_t, ymax2, xmax2,
     grid = (n // TILE_N,)
     # Raised scoped-VMEM budget (the r03 bisect's blocker class for the
     # sibling kernel; see tile_compare._tile_compare_pallas).
-    import os
-    vmem_mb = int(os.environ.get("GUETZLI_TPU_PALLAS_VMEM_MB", "100"))
+    vmem_mb = _config.current().pallas_vmem_mb
     out = pl.pallas_call(
         _kernel,
         grid=grid,

@@ -41,7 +41,8 @@ def get_lib():
     if _tried:
         return _lib
     _tried = True
-    if os.environ.get("GUETZLI_TPU_NO_NATIVE"):
+    from guetzli_tpu import config
+    if not config.current().native:
         return None
     if not _build():
         return None

@@ -86,8 +86,8 @@ def _pw_progression(off, inc, s):
 
 
 def _use_exact_lut():
-    import os
-    return os.environ.get("GUETZLI_TPU_EXACT_LUT") == "1"
+    from guetzli_tpu import config
+    return config.current().exact_lut
 
 
 def color_diff_dy_hf(s):

@@ -93,9 +93,9 @@ def srgb_to_linear(rgb_int):
     float64-built table. GUETZLI_TPU_EXACT_LUT=1 restores the exact
     factored one-hot table read (a [N, 16] x [16, 16] contraction --
     gathers would serialize on the TPU scalar core)."""
-    import os
+    from guetzli_tpu import config
     ix = rgb_int.astype(jnp.int32)
-    if os.environ.get("GUETZLI_TPU_EXACT_LUT") != "1":
+    if not config.current().exact_lut:
         vf = ix.astype(jnp.float32)
         lo = vf * np.float32(1.0 / 12.92)
         hi = np.float32(255.0) * (

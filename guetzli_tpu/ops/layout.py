@@ -22,7 +22,8 @@ import jax
 
 
 def lane_safe():
-    env = os.environ.get("GUETZLI_TPU_LANE_SAFE")
-    if env is not None:
-        return env == "1"
+    from guetzli_tpu import config
+    v = config.current().lane_safe
+    if v is not None:
+        return v
     return jax.default_backend() != "cpu"

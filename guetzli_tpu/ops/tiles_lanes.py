@@ -47,11 +47,9 @@ def _use_dot():
     cutting the ~128 stacked vector ops per contraction to one fused op;
     tools/zeroing_ab.py verifies the batch-size independence on hardware
     (see its banked JSON before flipping the default)."""
-    import os
-    env = os.environ.get("GUETZLI_TPU_LANES_DOT")
-    if env is not None:
-        return env != "0"
-    return False
+    from guetzli_tpu import config
+    v = config.current().lanes_dot
+    return False if v is None else v
 
 
 def _mat_axis(mat, x, axis, np_dtype):
@@ -236,8 +234,8 @@ def _use_quad():
     """Quadratic-form x/z AC evaluation (GUETZLI_TPU_LANES_QUAD=1).
     Off by default pending the hardware A/B + bitwise batch-independence
     check (tools/zeroing_ab.py --quad)."""
-    import os
-    return os.environ.get("GUETZLI_TPU_LANES_QUAD", "0") != "0"
+    from guetzli_tpu import config
+    return config.current().lanes_quad
 
 
 def _quad_ac(t):

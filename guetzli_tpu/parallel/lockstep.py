@@ -381,37 +381,57 @@ def _corpus_masking(trip, comp_mask, target_muls, stop_early, threads=1,
     # device_get. Each image's decision sequence depends only on its own
     # results, so outputs stay byte-identical to serial; the per-image
     # tunnel round trip per iteration collapses to one per round.
+    #
+    # threads > 1 additionally runs the per-image HOST work of a round
+    # (order build, flips, incremental serialization -- numpy + native
+    # code that releases the GIL) on a pool: within a round the images
+    # are independent, so thread scheduling cannot change any decision.
     from guetzli_tpu import comparator as cmp_mod
-    active = []
-    for item in items:
-        proc = item[0][0]
-        gen = start(item)
+
+    def _advance(gen, res):
         try:
-            pending, recover = next(gen)
-            active.append((proc, gen, pending, recover))
+            return gen.send(res) if res is not None else next(gen)
         except StopIteration:
-            pass
-    while active:
-        comps = [a[0].comparator for a in active]
-        handles = [a[2] for a in active]
-        try:
-            results = cmp_mod.fetch_compare_many(comps, handles)
-        except Exception as e:
-            if "UNAVAILABLE" not in str(e):
-                raise
-            sys.stderr.write("worker crash during corpus back-end; "
-                             "recovering per image\n")
-            results = [a[0]._recoverable(
-                a[3], a[0].comparator.fetch_compare, a[2])
-                for a in active]
-        nxt = []
-        for (proc, gen, _p, _r), res in zip(active, results):
+            return None
+
+    pool = None
+    if threads > 1 and len(items) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=min(threads, len(items)))
+    try:
+        active = []
+        gens = [(item[0][0], start(item)) for item in items]
+        firsts = (list(pool.map(lambda pg: _advance(pg[1], None), gens))
+                  if pool else [_advance(g, None) for _, g in gens])
+        for (proc, gen), first in zip(gens, firsts):
+            if first is not None:
+                active.append((proc, gen, first[0], first[1]))
+        while active:
+            comps = [a[0].comparator for a in active]
+            handles = [a[2] for a in active]
             try:
-                pending, recover = gen.send(res)
-                nxt.append((proc, gen, pending, recover))
-            except StopIteration:
-                pass
-        active = nxt
+                results = cmp_mod.fetch_compare_many(comps, handles)
+            except Exception as e:
+                if "UNAVAILABLE" not in str(e):
+                    raise
+                sys.stderr.write("worker crash during corpus back-end; "
+                                 "recovering per image\n")
+                results = [a[0]._recoverable(
+                    a[3], a[0].comparator.fetch_compare, a[2])
+                    for a in active]
+            if pool:
+                steps = list(pool.map(
+                    lambda ar: _advance(ar[0][1], ar[1]),
+                    zip(active, results)))
+            else:
+                steps = [_advance(gen, res)
+                         for (_p, gen, _h, _r), res in zip(active, results)]
+            active = [(proc, gen, step[0], step[1])
+                      for (proc, gen, _h, _r), step in zip(active, steps)
+                      if step is not None]
+    finally:
+        if pool:
+            pool.shutdown(wait=True)
     if phase_walls is not None:
         phase_walls["backend"] = phase_walls.get("backend", 0.0) \
             + (_time.time() - _t_back)

@@ -38,7 +38,8 @@ def tile_mesh(n_devices: int) -> Mesh:
 
 def mesh_from_env():
     """Mesh from GUETZLI_TPU_MESH=N (None when unset/1)."""
-    n = int(os.environ.get("GUETZLI_TPU_MESH", "0") or 0)
+    from guetzli_tpu import config
+    n = config.current().mesh
     if n <= 1:
         return None
     return tile_mesh(n)

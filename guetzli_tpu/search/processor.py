@@ -115,9 +115,11 @@ def _backend_pipeline_lag(comparator):
     synchronous) on the CPU backend. GUETZLI_TPU_PIPELINE overrides.
     """
     import jax
-    env = os.environ.get("GUETZLI_TPU_PIPELINE")
-    if env is not None:
-        return max(0, int(env))
+
+    from guetzli_tpu import config
+    lag = config.current().pipeline_lag
+    if lag is not None:
+        return max(0, lag)
     if jax.default_backend() == "cpu":
         return 0
     return 1
@@ -310,18 +312,18 @@ class Processor:
         dispatched, so consecutive trials overlap on the device. Results
         are identical to the serial loop (the discarded branch is never
         fetched or logged)."""
-        import os
-
         import jax
-        tree_env = os.environ.get("GUETZLI_TPU_TREE_QUANT")
-        if tree_env is None:
+
+        from guetzli_tpu import config
+        cfg = config.current()
+        if cfg.tree_quant is None:
             # The tree speculatively evaluates the whole next search
             # subtree per wave: a win when the round trip dominates (the
             # accelerator), pure extra compute on the compute-bound CPU
             # fallback.
             use_tree = jax.default_backend() != "cpu"
         else:
-            use_tree = tree_env != "0"
+            use_tree = cfg.tree_quant
         if use_tree and self.comparator.supports_quant_batch():
             # One-fetch wave evaluation of the whole binary-search tree
             # (search/quant_tree.py); identical trial sequence + output.
@@ -332,14 +334,13 @@ class Processor:
         qgen = QuantMatrixGenerator(downsample)
         target_mul_high = 0.97
         target_mul_low = 0.95
-        env = os.environ.get("GUETZLI_TPU_SPECULATE")
-        if env is None:
+        if cfg.speculate is None:
             # Speculative trials pay ~2x device compute for ~2x less
             # round-trip latency: a win on remote/tunneled accelerators,
             # a loss on the compute-bound CPU backend.
             speculate = jax.default_backend() != "cpu"
         else:
-            speculate = env != "0"
+            speculate = cfg.speculate
 
         cur_q = best_q.copy()
         cur = self._quant_eval_start(jpg_in, cur_q)
@@ -440,30 +441,34 @@ class Processor:
         """The pass's frozen per-block evaluation state: (mode, aux) for
         zeroing._eval_dispatch. Starts block comparisons on the
         comparator."""
-        import os
+        from guetzli_tpu import config
+        cfg = config.current()
         self.comparator.start_block_comparisons()
         if img.is_444():
             xyb0_tiles, scales, ysel, xsel = \
                 self.comparator.block_state(1, 1)
-            if os.environ.get("GUETZLI_TPU_PALLAS") == "1":
+            if cfg.pallas == 1:
                 from guetzli_tpu.kernels import tile_compare as tc
                 sy, sx = tc._selection_matrices(np.asarray(ysel),
                                                 np.asarray(xsel))
                 return "444p", (xyb0_tiles, scales, jnp.asarray(sy),
                                 jnp.asarray(sx))
-            if os.environ.get("GUETZLI_TPU_PALLAS") == "2":
+            if cfg.pallas == 2:
                 # Lane-major fused Pallas kernel (Mosaic-compiling
-                # formulation, kernels/tile_compare_lanes.py).
-                return "444pl", (xyb0_tiles, scales, ysel, xsel)
-            if os.environ.get("GUETZLI_TPU_LANES", "1") != "0":
+                # formulation, kernels/tile_compare_lanes.py); probe the
+                # backend once and degrade to '444l' if lowering fails.
+                from guetzli_tpu.kernels import tile_compare_lanes as tcl
+                if tcl.mosaic_available():
+                    return "444pl", (xyb0_tiles, scales, ysel, xsel)
+                return "444l", (xyb0_tiles, scales, ysel, xsel)
+            if cfg.lanes:
                 # Lane-major evaluation (ops/tiles_lanes.py): same aux
                 # arrays; the zeroing stage transposes them once.
                 return "444l", (xyb0_tiles, scales, ysel, xsel)
             return "444", (xyb0_tiles, scales, ysel, xsel)
         if comp_mask == 1:
             chroma_bytes = self.comparator.frozen_chroma_blocks(img)
-            mode = "420yl" if os.environ.get(
-                "GUETZLI_TPU_LANES", "1") != "0" else "420y"
+            mode = "420yl" if cfg.lanes else "420y"
             return mode, (chroma_bytes,) + \
                 self.comparator.block_state(1, 1)
         from guetzli_tpu.ops import upsample as us
@@ -488,8 +493,7 @@ class Processor:
             subs.append(neigh)
         y16 = self.comparator.frozen_y_16x16(img, grid.bw, grid.bh)
         children = self.comparator.children_state(grid.bw, grid.bh)
-        mode = "420cl" if os.environ.get(
-            "GUETZLI_TPU_LANES", "1") != "0" else "420c"
+        mode = "420cl" if cfg.lanes else "420c"
         return mode, (jnp.asarray(np.asarray(subs[0])),
                       jnp.asarray(np.asarray(subs[1])), y16) \
             + children
@@ -509,12 +513,11 @@ class Processor:
         # recovery = rebuild device state and redo this (deterministic)
         # pass -- the framework-level analog of the reference's per-image
         # fallback output (processor.cc:965-977).
-        import os
+        from guetzli_tpu import config
         # Staged compaction (2-3 device programs, fixed stage shapes) is
         # the default; GUETZLI_TPU_STAGED_ZEROING=0 forces the single
         # full-batch program.
-        use_staged = os.environ.get("GUETZLI_TPU_STAGED_ZEROING",
-                                    "1") != "0"
+        use_staged = config.current().staged_zeroing
         # Padded-bucket mode: zeroing runs on the bucket block grid so its
         # programs are bucket-shaped too (one compile per bucket).
         geom = getattr(self.comparator, "geom", None)
@@ -578,6 +581,19 @@ class Processor:
         offsets, cand_idx, cand_err = self.csr_from_zeroing(
             out_idx, out_err, num, nb)
         self.comparator.finish_block_comparisons()
+        # The [NB, 192] zeroing rails and the (padded copies of) block
+        # inputs are dead once the CSR candidate arrays exist; at 8 MPix
+        # they are ~0.5 GB that would otherwise sit in RSS through the
+        # minutes-long back-end phase (BASELINE 110 B/px envelope).
+        del out_idx, out_err, num, blocks, orig, aux_dev, mode, aux
+        if nb * 192 >= 16 << 20:
+            import ctypes
+            import gc
+            gc.collect()
+            try:    # glibc: return freed arenas to the OS
+                ctypes.CDLL("libc.so.6").malloc_trim(0)
+            except Exception:
+                pass
 
         with self.stats.timed("back_end"):
             self.select_frequency_back_end(
@@ -729,7 +745,9 @@ class Processor:
         # each iteration ships only the blocks its flips changed (the
         # scatter is fused into the compare program). ~KBs per round trip
         # instead of the full padded planes.
-        use_sparse = (os.environ.get("GUETZLI_TPU_SPARSE", "1") != "0"
+        from guetzli_tpu import config
+        cfg = config.current()
+        use_sparse = (cfg.sparse
                       and self.comparator.supports_sparse(img, comp_mask))
         if use_sparse:
             self.comparator.backend_sync_full(img)
@@ -905,15 +923,13 @@ class Processor:
                 with self.stats.timed("backend_dispatch"):
                     pending = dispatch()
                 with self.stats.timed("backend_serialize"):
-                    if (not can_collapse and os.environ.get(
-                            "GUETZLI_TPU_NO_INCR_SAVE") != "1"):
+                    if not can_collapse and cfg.incr_save:
                         img.update_jpeg_data(jpg_out, changed,
                                              flip_channels, bw)
                     else:
                         jpg_out = img.save_to_jpeg_data(jpg)
                     if (len(jpg_out.components) == ncomp_out0
-                            and os.environ.get(
-                                "GUETZLI_TPU_NO_HISTO_REUSE") != "1"):
+                            and cfg.histo_reuse):
                         encoded = self.output_jpeg(
                             jpg_out, dc_histograms0,
                             ac_histograms[:ncomp_out0])

@@ -171,6 +171,10 @@ class TreeQuantSearch:
         # the device (~250 MB/wave at 8 MPix); the adopted distmap was
         # already sliced out by set_quant_result, so the handles can go.
         self.memo.clear()
+        # The device-resident base coefficient planes (and the host base
+        # image copy) are only needed while trials are being issued.
+        self.base = None
+        self.base_img = None
         self.done = True
         return True
 

@@ -88,17 +88,18 @@ def _eval_dispatch(mode, cand, aux, lookahead):
         return errs[:n]
     if mode == "444pl":
         # Fused lane-major Pallas kernel (the Mosaic-compiling
-        # formulation; GUETZLI_TPU_PALLAS=2). aux stays blocks-leading;
-        # the wrapper transposes to tiles-last per call (fused by XLA
-        # around the pallas_call).
+        # formulation; GUETZLI_TPU_PALLAS=2). aux was transposed to
+        # tiles-last and lane-padded once by _rep_aux; only the
+        # candidate transpose+pad remains per greedy iteration.
         from guetzli_tpu.kernels import tile_compare_lanes as tcl
-        xyb0_tiles, scales, ysel, xsel = aux
         n = cand.shape[0]
         npad = (-n) % tcl.TILE_N
-        pad = lambda a: jnp.concatenate(
-            [a, jnp.zeros((npad,) + a.shape[1:], a.dtype)]) if npad else a
-        errs = tcl.tile_compare_pallas_lanes(
-            pad(cand), pad(xyb0_tiles), pad(scales), pad(ysel), pad(xsel))
+        cand_t = jnp.transpose(
+            jnp.reshape(cand, (-1, 3, 8, 8)), (1, 2, 3, 0))
+        if npad:
+            cand_t = jnp.pad(cand_t, ((0, 0),) * 3 + ((0, npad),))
+        errs = tcl._tile_compare_lanes(
+            cand_t, *aux, interpret=jax.default_backend() == "cpu")
         return errs[:n]
     if mode == "420y":
         chroma_bytes, xyb0_tiles, scales, ysel, xsel = aux
@@ -122,6 +123,21 @@ def _rep_aux(aux, lookahead, mode=None):
               "420cl": tl.transpose_aux_420c}[mode]
         aux = tr(*aux)
         return tuple(jnp.repeat(a, lookahead, axis=-1) for a in aux)
+    if mode == "444pl":
+        # The fused Pallas kernel's aux: tiles-last, ymax/xmax rank-2,
+        # lane axis repeated AND padded to the kernel tile once per
+        # stage program instead of per greedy iteration.
+        from guetzli_tpu.kernels import tile_compare_lanes as tcl
+        from guetzli_tpu.ops import tiles_lanes as tl
+        x0, sc, ymax, xmax = tl.transpose_aux_444(*aux)
+        out = tuple(jnp.repeat(a, lookahead, axis=-1)
+                    for a in (x0, sc, ymax[None, :], xmax[None, :]))
+        npad = (-out[0].shape[-1]) % tcl.TILE_N
+        if npad:
+            out = tuple(
+                jnp.pad(a, ((0, 0),) * (a.ndim - 1) + ((0, npad),))
+                for a in out)
+        return out
     return tuple(jnp.repeat(a, lookahead, axis=0) for a in aux)
 
 

@@ -109,11 +109,23 @@ def test_zeroing_mode_444pl_matches_444l(setup):
         blocks, blocks, limit, aux, "444l", 7, lookahead=3)
     idx_p, err_p, num_p = zeroing.compute_zeroing_order_with(
         blocks, blocks, limit, aux, "444pl", 7, lookahead=3)
-    np.testing.assert_array_equal(np.asarray(num_l), np.asarray(num_p))
-    # Decisions must agree wherever the error is below the cutoff.
+    # Primary: decisions and counts agree exactly (they do on this
+    # backend). Fallback: a near-tie argmin may flip on last-ulp
+    # differences between XLA fusion and the interpreted kernel, so a
+    # disagreeing decision is only a failure if the two paths' errors at
+    # that step are NOT a tie within float32 noise.
+    el, ep = np.asarray(err_l), np.asarray(err_p)
     nl = np.asarray(num_l)
+    npn = np.asarray(num_p)
+    if not np.array_equal(nl, npn):
+        flip = nl != npn
+        np.testing.assert_allclose(el[flip], ep[flip], rtol=1e-6,
+                                   atol=1e-6)
     il, ip = np.asarray(idx_l), np.asarray(idx_p)
     for b in range(il.shape[0]):
-        np.testing.assert_array_equal(il[b, :nl[b]], ip[b, :nl[b]])
-    np.testing.assert_allclose(np.asarray(err_l), np.asarray(err_p),
-                               rtol=5e-3, atol=2e-3)
+        n = min(nl[b], npn[b])
+        bad = il[b, :n] != ip[b, :n]
+        if bad.any():
+            np.testing.assert_allclose(el[b, :n][bad], ep[b, :n][bad],
+                                       rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(el, ep, rtol=5e-3, atol=2e-3)

@@ -36,14 +36,17 @@ def main(argv=None) -> int:
                          "forms an explicit 2+-process CPU/TPU cluster")
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (no accelerator probe)")
-    ap.add_argument("--threads", type=int, default=1,
+    ap.add_argument("--threads", type=int, default=None,
                     help="concurrent encodes per host (overlaps device "
-                         "round trips across images)")
+                         "round trips across images); default: one per "
+                         "image up to 16 under lockstep, 1 serial")
     ap.add_argument("--lockstep", action="store_true",
-                    help="phase-synchronized corpus search: one dispatch "
-                         "wave per quant round and one combined zeroing "
-                         "program across the corpus (byte-identical "
-                         "outputs; best on remote/tunneled accelerators)")
+                    help="(default; kept for compatibility)")
+    ap.add_argument("--serial", action="store_true",
+                    help="per-image sequential encoding instead of the "
+                         "lockstep corpus search (debugging/AB only; the "
+                         "lockstep path produces byte-identical outputs "
+                         "with one dispatch wave per search round)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -86,17 +89,21 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     items = [(p.name, p.read_bytes()) for p in mine]
-    if args.lockstep:
+    if not args.serial:
+        # Lockstep is THE corpus path (bench.py's batch metric uses the
+        # same driver): back-end threads default to one per image so the
+        # corpus batcher coalesces full-width compare waves.
+        threads = args.threads or max(1, min(len(items), 16))
         from guetzli_tpu.parallel.lockstep import encode_corpus_lockstep
         results = [(n, d, 0.0)
                    for n, d in encode_corpus_lockstep(
                        items, quality=args.quality,
-                       threads=args.threads)]
+                       threads=threads)]
     else:
         from guetzli_tpu.parallel.api import encode_corpus
         results = encode_corpus(items, quality=args.quality,
                                 verbose=args.verbose,
-                                threads=args.threads)
+                                threads=args.threads or 1)
     wall = time.time() - t0
 
     ok = 0

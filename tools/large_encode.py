@@ -105,9 +105,34 @@ def main():
     params.butteraugli_target = consts.butteraugli_score_for_quality(
         quality)
     stats = ProcessStats()
+
+    # RSS timeline sampler: phases run sequentially, so (t, rss) samples
+    # align with the phase walls in stats.timings -- enough to attribute
+    # the peak to a phase without tracemalloc overhead.
+    samples = []
+    stop = []
+
+    def _rss_mb():
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) // 1024
+        return 0
+
+    import threading
+
+    def _sampler(t_start):
+        while not stop:
+            samples.append((round(time.time() - t_start, 1), _rss_mb()))
+            time.sleep(0.5)
+
     t0 = time.time()
+    thr = threading.Thread(target=_sampler, args=(t0,), daemon=True)
+    thr.start()
     out = process_rgb(params, rgb, w, h, stats)
     dt = time.time() - t0
+    stop.append(True)
+    thr.join(timeout=2)
 
     rss_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     npx = w * h
@@ -123,6 +148,8 @@ def main():
         "mesh": mesh,
         "iters": stats.counters.get("iters", 0),
         "timings": {k: round(v, 1) for k, v in stats.timings.items()},
+        # Decimated RSS timeline (t_s, rss_mb): at most ~120 points.
+        "rss_timeline": samples[::max(1, len(samples) // 120)],
     }
     print(json.dumps(result))
     if out_path:
