@@ -231,17 +231,28 @@ def _mpix1_bench(params):
         return {"mpix1_error": warm_stats.search_error[:500],
                 "mpix1_parity": False,
                 "mpix1_ref_bytes": REF_1MPIX_SIZE}
-    stats = ProcessStats()
-    t0 = time.time()
-    out = process_rgb(params, rgb, 1332, 774, stats)
-    dt = time.time() - t0
-    if stats.search_error is not None:
-        return {"mpix1_error": stats.search_error[:500],
-                "mpix1_parity": False,
-                "mpix1_ref_bytes": REF_1MPIX_SIZE}
+    # Three consecutive timed encodes: the r03 headline carried a single
+    # sample and two captures in one window disagreed by 1.7x (tunnel
+    # RTT/bandwidth drift between runs). Median + spread makes the
+    # number reproducible evidence; spread > 10% flags an unstable
+    # window in the output rather than silently reporting a lucky run.
+    walls, out = [], None
+    for _ in range(3):
+        stats = ProcessStats()
+        t0 = time.time()
+        out = process_rgb(params, rgb, 1332, 774, stats)
+        walls.append(time.time() - t0)
+        if stats.search_error is not None:
+            return {"mpix1_error": stats.search_error[:500],
+                    "mpix1_parity": False,
+                    "mpix1_ref_bytes": REF_1MPIX_SIZE}
+    dt = sorted(walls)[1]
+    spread = (max(walls) - min(walls)) / dt
     v = mpix / dt
     return {
         "mpix1_encode_s": round(dt, 2),
+        "mpix1_walls_s": [round(w, 2) for w in walls],
+        "mpix1_spread_pct": round(100.0 * spread, 1),
         "mpix1_mpix_s": round(v, 5),
         "mpix1_vs_ref_same_image": round(v / REF_1MPIX_MPIX_S, 2),
         "mpix1_out_bytes": len(out),

@@ -283,8 +283,8 @@ def _corpus_masking(trip, comp_mask, target_muls, stop_early, threads=1,
 
     _t_zero = _time.time()
 
-    per = []
-    for proc, jpg, img in trip:
+    def _prep(args):
+        proc, jpg, img = args
         last_c = comp_mask.bit_length() - 1
         grid = img.comps[last_c]
         blocks, orig = proc.masking_inputs(jpg, img, comp_mask)
@@ -307,9 +307,19 @@ def _corpus_masking(trip, comp_mask, target_muls, stop_early, threads=1,
             unpad = (geom, grid.bw, grid.bh, gbwp, gbhp, nb)
         else:
             unpad = None
-        per.append((blocks, orig, mode, aux,
-                    np.float32(proc.comparator.block_error_limit()),
-                    unpad))
+        return (blocks, orig, mode, aux,
+                np.float32(proc.comparator.block_error_limit()),
+                unpad)
+
+    # Per-image aux building (frozen opsin tiles, mask scales, device
+    # uploads) is independent across images: run it on the thread pool.
+    if threads > 1 and len(trip) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(
+                max_workers=min(threads, len(trip))) as pool:
+            per = list(pool.map(_prep, trip))
+    else:
+        per = [_prep(t) for t in trip]
     # Images can evaluate under different modes in one pass (e.g. a
     # grayscale image keeps 444 geometry through the 420 pass because its
     # all-zero chroma skips downsampling): bucket by mode and run one
@@ -330,11 +340,31 @@ def _corpus_masking(trip, comp_mask, target_muls, stop_early, threads=1,
         for k in range(len(per[0][3])))
     limits = np.concatenate([
         np.full(len(p[0]), p[4], np.float32) for p in per])
+    # Combined real-block index over the concatenated (padded) block
+    # axis: per image, the bucket-grid rows of its real blocks, shifted
+    # by its segment offset. The device-side CSR compaction then pulls
+    # only selected candidates of real blocks (parallel batch of the
+    # single-image path in Processor.select_frequency_masking).
+    real_parts, real_counts = [], []
+    off = 0
+    for p in per:
+        nbp = len(p[0])
+        if p[5] is not None:
+            _geom, bw, bh, gbwp, _gbhp, nb_real = p[5]
+            r = np.arange(nb_real, dtype=np.int64)
+            real_parts.append(off + (r // bw) * gbwp + r % bw)
+            real_counts.append(nb_real)
+        else:
+            real_parts.append(off + np.arange(nbp, dtype=np.int64))
+            real_counts.append(nbp)
+        off += nbp
+    real_index = np.concatenate(real_parts)
     p0 = trip[0][0].params
     for attempt in range(3):
         try:
-            out_idx, out_err, num = zeroing.compute_zeroing_order_staged(
+            cat_off, cat_idx, cat_err = zeroing.compute_zeroing_csr_staged(
                 cat_blocks, cat_orig, limits, cat_aux, mode, comp_mask,
+                real_index=real_index,
                 lookahead=p0.zeroing_greedy_lookahead,
                 new_model=p0.new_zeroing_model,
                 early_exit=p0.zeroing_early_exit)
@@ -354,26 +384,20 @@ def _corpus_masking(trip, comp_mask, target_muls, stop_early, threads=1,
 
     def start(item):
         """Per-image back-end prep; returns the iteration generator."""
-        (proc, jpg, img), p, mul, off = item
-        nbp = len(p[0])
-        oi, oe, nn = (out_idx[off:off + nbp], out_err[off:off + nbp],
-                      num[off:off + nbp])
-        nb = nbp
-        if p[5] is not None:
-            geom, bw, bh, gbwp, gbhp, nb = p[5]
-            oi = geom.unpad_blocks(oi, bw, bh, gbwp, gbhp)
-            oe = geom.unpad_blocks(oe, bw, bh, gbwp, gbhp)
-            nn = geom.unpad_blocks(nn, bw, bh, gbwp, gbhp)
-        offsets, cand_idx, cand_err = proc.csr_from_zeroing(oi, oe, nn, nb)
+        (proc, jpg, img), _p, mul, row0, nbr = item
+        offsets = cat_off[row0:row0 + nbr + 1] - cat_off[row0]
+        lo, hi = cat_off[row0], cat_off[row0 + nbr]
+        cand_idx = cat_idx[lo:hi]
+        cand_err = cat_err[lo:hi]
         proc.comparator.finish_block_comparisons()
         return proc.back_end_steps(jpg, img, comp_mask, mul, stop_early,
                                    offsets, cand_idx, cand_err)
 
     items = []
-    off = 0
-    for t, p, mul in zip(trip, per, target_muls):
-        items.append((t, p, mul, off))
-        off += len(p[0])
+    row0 = 0
+    for t, p, mul, nbr in zip(trip, per, target_muls, real_counts):
+        items.append((t, p, mul, row0, nbr))
+        row0 += nbr
 
     # Lockstep iteration rounds: advance every image's generator to its
     # fetch point (its compare is dispatched, its host serialization

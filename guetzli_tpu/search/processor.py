@@ -543,11 +543,22 @@ class Processor:
                 aux_dev = tuple(jnp.asarray(a) for a in aux)
                 early = self.params.zeroing_early_exit
                 if use_staged:
+                    # Device-side CSR compaction: only the selected
+                    # candidates cross the link, never the [NB, 192]
+                    # rails (device->host is the tunnel's slow
+                    # direction). real_index drops bucket-padding rows.
+                    if geom is not None:
+                        r = np.arange(nb, dtype=np.int64)
+                        real_index = ((r // grid.bw) * gbwp
+                                      + r % grid.bw)
+                    else:
+                        real_index = None
                     with self.stats.timed("zeroing_loop"):
-                        out_idx, out_err, num = \
-                            zeroing.compute_zeroing_order_staged(
+                        offsets, cand_idx, cand_err = \
+                            zeroing.compute_zeroing_csr_staged(
                                 blocks, orig, limit32, aux_dev, mode,
-                                comp_mask, lookahead=lookahead,
+                                comp_mask, real_index=real_index,
+                                lookahead=lookahead,
                                 new_model=self.params.new_zeroing_model,
                                 early_exit=early, put=put)
                 else:
@@ -571,21 +582,22 @@ class Processor:
                 _time.sleep(20)
                 self.comparator.recover_device_state()
 
-        if geom is not None:
-            out_idx = geom.unpad_blocks(out_idx, grid.bw, grid.bh,
-                                        gbwp, gbhp)
-            out_err = geom.unpad_blocks(out_err, grid.bw, grid.bh,
-                                        gbwp, gbhp)
-            num = geom.unpad_blocks(num, grid.bw, grid.bh, gbwp, gbhp)
-
-        offsets, cand_idx, cand_err = self.csr_from_zeroing(
-            out_idx, out_err, num, nb)
+        if not use_staged:
+            if geom is not None:
+                out_idx = geom.unpad_blocks(out_idx, grid.bw, grid.bh,
+                                            gbwp, gbhp)
+                out_err = geom.unpad_blocks(out_err, grid.bw, grid.bh,
+                                            gbwp, gbhp)
+                num = geom.unpad_blocks(num, grid.bw, grid.bh, gbwp, gbhp)
+            offsets, cand_idx, cand_err = self.csr_from_zeroing(
+                out_idx, out_err, num, nb)
+            del out_idx, out_err, num
         self.comparator.finish_block_comparisons()
-        # The [NB, 192] zeroing rails and the (padded copies of) block
-        # inputs are dead once the CSR candidate arrays exist; at 8 MPix
-        # they are ~0.5 GB that would otherwise sit in RSS through the
-        # minutes-long back-end phase (BASELINE 110 B/px envelope).
-        del out_idx, out_err, num, blocks, orig, aux_dev, mode, aux
+        # The (padded copies of) block inputs and aux state are dead once
+        # the CSR candidate arrays exist; at 8 MPix they are hundreds of
+        # MB that would otherwise sit in RSS through the minutes-long
+        # back-end phase (BASELINE 110 B/px envelope).
+        del blocks, orig, aux_dev, mode, aux
         if nb * 192 >= 16 << 20:
             import ctypes
             import gc
@@ -640,12 +652,26 @@ class Processor:
 
         comp = self.comparator
         inflight = collections.deque()
-        ex = ThreadPoolExecutor(max_workers=1)
+        # One worker per pipeline slot: with lag N there can be N fetches
+        # in flight, and their round trips only overlap if each gets its
+        # own thread (a single worker would serialize them back to one
+        # RTT per iteration).
+        ex = ThreadPoolExecutor(
+            max_workers=max(2, _backend_pipeline_lag(comp)))
         try:
             msg = next(gen)
             while True:
                 if msg[0] == "start":
                     _tag, pending, recover = msg
+                    # Start streaming the results host-side immediately:
+                    # the transfer then overlaps the host work between
+                    # dispatch and join instead of paying the full
+                    # request round trip inside the join's device_get.
+                    for a in (pending[0], pending[2]):
+                        try:
+                            a.copy_to_host_async()
+                        except (AttributeError, RuntimeError):
+                            pass
                     fut = ex.submit(comp.fetch_compare_pure, pending)
                     inflight.append((fut, recover))
                     msg = gen.send(None)

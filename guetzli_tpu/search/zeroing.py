@@ -218,31 +218,12 @@ def _zeroing_stage(state, limit, aux, mode, comp_mask, lookahead,
 _STAGE_SIZES = (8192, 2048, 512)
 
 
-def compute_zeroing_order_staged(blocks, orig_blocks, limit, aux, mode,
-                                 comp_mask, lookahead=3, new_model=True,
-                                 early_exit=False, put=None):
-    """Staged-compaction driver for the greedy zeroing loop.
-
-    Blocks finish after as many iterations as they have candidates; a
-    single while_loop over all blocks would spend its long tail doing
-    full-batch work for a handful of stragglers. Blocks are sorted by
-    candidate count (host side, from the same validity rule the kernel
-    uses); the loop runs the full batch only until every block outside the
-    top-2048 is done, then continues on fixed-size prefixes (2048, 512):
-    device work tracks the area under the sorted candidate-count curve
-    instead of NB * max_count, with at most 3 device programs.
-
-    Same results as the single-loop version, host-reassembled into the
-    original block order. Returns (out_idx, out_err_monotonic, num).
-
-    `limit` may be a scalar (single image) or an [NB] vector (per-block
-    error limits -- blocks of several lockstep-batched images concatenated,
-    each carrying its own image's limit; see NOTES.md lockstep design).
-
-    `put` (optional) uploads host block arrays to the device; a mesh
-    encode passes a sharded device_put (parallel/mesh.py) so the
-    while_loop programs partition over the block axis.
-    """
+def _staged_core(blocks, orig_blocks, limit, aux, mode, comp_mask,
+                 lookahead, new_model, early_exit, put):
+    """Shared stage-ladder driver: runs the greedy loop with staged
+    compaction, banking finished rows into DEVICE-resident [NB, K]
+    buffers (rows in candidate-count-sorted order). Returns
+    (bank_idx_dev, bank_err_dev, perm, inv_perm, limit_np)."""
     if put is None:
         put = jnp.asarray
     nb = blocks.shape[0]
@@ -270,8 +251,8 @@ def compute_zeroing_order_staged(blocks, orig_blocks, limit, aux, mode,
              jnp.full((nb, K), jnp.inf, jnp.float32),
              jnp.int32(0))
 
-    out_idx_np = np.zeros((nb, K), dtype=np.int32)
-    out_err_np = np.full((nb, K), np.inf, dtype=np.float32)
+    bank_idx = jnp.zeros((nb, K), jnp.int32)
+    bank_err = jnp.full((nb, K), jnp.inf, jnp.float32)
     size = nb
     t_done = 0
     total = int(sorted_counts[0]) if nb else 0
@@ -290,30 +271,145 @@ def compute_zeroing_order_staged(blocks, orig_blocks, limit, aux, mode,
         if t_done >= total or nxt is None:
             break
         ladder = ladder[1:]
-        # Blocks outside the fixed prefix are finished: bank their rows.
-        # Slice on device (rows past the prefix, columns actually written)
-        # so the host pull ships only the banked data, not [S, K].
-        out_idx_np[nxt:size, :t_done] = np.asarray(
-            state[3][nxt:size, :t_done])
-        out_err_np[nxt:size, :t_done] = np.asarray(
-            state[4][nxt:size, :t_done])
+        # Blocks outside the fixed prefix are finished: bank their rows
+        # on DEVICE (columns past t_done hold their init values, so full
+        # rows are correct); nothing crosses the link here.
+        bank_idx = bank_idx.at[nxt:size].set(state[3][nxt:size])
+        bank_err = bank_err.at[nxt:size].set(state[4][nxt:size])
         state = tuple(x[:nxt] for x in state[:5]) + (state[5],)
         aux_p = tuple(a[:nxt] for a in aux_p)
         if per_block_limit:
             limit_p = limit_p[:nxt]
         size = nxt
 
-    t_hi = max(t_done, 1)
-    out_idx_np[:size, :t_hi] = np.asarray(state[3][:size, :t_hi])
-    out_err_np[:size, :t_hi] = np.asarray(state[4][:size, :t_hi])
+    bank_idx = bank_idx.at[:size].set(state[3][:size])
+    bank_err = bank_err.at[:size].set(state[4][:size])
+    return bank_idx, bank_err, perm, inv_perm, limit
 
+
+def compute_zeroing_order_staged(blocks, orig_blocks, limit, aux, mode,
+                                 comp_mask, lookahead=3, new_model=True,
+                                 early_exit=False, put=None):
+    """Staged-compaction driver for the greedy zeroing loop.
+
+    Blocks finish after as many iterations as they have candidates; a
+    single while_loop over all blocks would spend its long tail doing
+    full-batch work for a handful of stragglers. Blocks are sorted by
+    candidate count (host side, from the same validity rule the kernel
+    uses); the loop runs the full batch only until every block outside the
+    top-2048 is done, then continues on fixed-size prefixes (2048, 512):
+    device work tracks the area under the sorted candidate-count curve
+    instead of NB * max_count, with at most 3 device programs.
+
+    Same results as the single-loop version, host-reassembled into the
+    original block order. Returns (out_idx, out_err_monotonic, num).
+
+    `limit` may be a scalar (single image) or an [NB] vector (per-block
+    error limits -- blocks of several lockstep-batched images concatenated,
+    each carrying its own image's limit; see NOTES.md lockstep design).
+
+    `put` (optional) uploads host block arrays to the device; a mesh
+    encode passes a sharded device_put (parallel/mesh.py) so the
+    while_loop programs partition over the block axis.
+
+    NOTE: production callers use compute_zeroing_csr_staged, which keeps
+    the [NB, K] rails on device and pulls only the compacted CSR
+    candidates (the tunnel's device->host path is the slow direction);
+    this full-rail variant remains the reference/testing surface.
+    """
+    bank_idx, bank_err, _perm, inv_perm, limit = _staged_core(
+        blocks, orig_blocks, limit, aux, mode, comp_mask, lookahead,
+        new_model, early_exit, put)
     # Unpermute, monotonic suffix-min, cutoff (processor.cc:467-479).
-    out_idx_np = out_idx_np[inv_perm]
-    out_err_np = out_err_np[inv_perm]
+    out_idx_np = np.asarray(bank_idx)[inv_perm]
+    out_err_np = np.asarray(bank_err)[inv_perm]
     rev_min = np.minimum.accumulate(out_err_np[:, ::-1], axis=1)[:, ::-1]
+    per_block_limit = limit.ndim == 1
     lim_col = limit[:, None] if per_block_limit else limit
     num = np.sum(rev_min <= lim_col, axis=1).astype(np.int32)
     return out_idx_np, rev_min, num
+
+
+@partial(jax.jit, static_argnames=("scalar_limit",))
+def _csr_counts_device(bank_err, limit_v, real_index, scalar_limit):
+    """Per real block: suffix-min the banked errors, count entries at or
+    below the limit (num) and the leading zero-error run (z). The CSR
+    selection of csr_from_zeroing is exactly the slot range [z, num):
+    the suffix-min is non-decreasing along slots, so `err <= limit` holds
+    on a prefix and `err > 0` from some slot onward."""
+    err_r = bank_err[real_index]                       # [NBR, K]
+    rev = jax.lax.cummin(err_r[:, ::-1], axis=1)[:, ::-1]
+    lim = limit_v if scalar_limit else limit_v[real_index][:, None]
+    num = jnp.sum(rev <= lim, axis=1).astype(jnp.int32)
+    z = jnp.sum(rev <= 0.0, axis=1).astype(jnp.int32)
+    return rev, num, jnp.minimum(z, num)
+
+
+@jax.jit
+def _csr_gather_device(rev, bank_idx, real_index, rows, cols):
+    """Gather the selected (idx, err) pairs: rows/cols index the real-
+    block-order rev matrix; idx comes from the banked (permuted) rails."""
+    idx_r = bank_idx[real_index]                       # [NBR, K]
+    return idx_r[rows, cols], rev[rows, cols]
+
+
+def compute_zeroing_csr_staged(blocks, orig_blocks, limit, aux, mode,
+                               comp_mask, real_index=None, lookahead=3,
+                               new_model=True, early_exit=False,
+                               put=None):
+    """Staged zeroing + DEVICE-side CSR compaction.
+
+    Returns (offsets [NBR+1] int64, cand_idx [M] int32, cand_err [M]
+    float32) -- bit-identical to csr_from_zeroing(compute_zeroing_order_
+    staged(...)) but pulling only the selected candidates over the
+    device link: counts [NBR] first (chooses the padded gather size),
+    then the M selected (idx, err) pairs. The [NB, K] rails never leave
+    the device -- at production sizes they are 10-100x the CSR's bytes,
+    and device->host is the tunnel's slow direction (~13 MB/s measured,
+    tpu_r04_zeroing_ab.json bandwidth rows).
+
+    real_index: optional [NBR] int32 mapping output row -> row of the
+    (padded) input block axis (identity when None); the caller uses it
+    to drop bucket-padding rows and to split lockstep-concatenated
+    corpora without pulling padded rows.
+    """
+    bank_idx, bank_err, perm, inv_perm, limit_np = _staged_core(
+        blocks, orig_blocks, limit, aux, mode, comp_mask, lookahead,
+        new_model, early_exit, put)
+    nb = bank_err.shape[0]
+    if real_index is None:
+        real_index = np.arange(nb, dtype=np.int64)
+    # Output row r lives at permuted row inv_perm[real_index[r]].
+    lookup = jnp.asarray(inv_perm[np.asarray(real_index)].astype(np.int32))
+    scalar_limit = limit_np.ndim == 0
+    limit_v = (jnp.float32(limit_np) if scalar_limit
+               else jnp.asarray(limit_np[perm]))
+    rev, num_d, z_d = _csr_counts_device(bank_err, limit_v, lookup,
+                                         scalar_limit)
+    num, z = np.asarray(num_d), np.asarray(z_d)
+    counts = (num - z).astype(np.int64)
+    nbr = len(counts)
+    offsets = np.zeros(nbr + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    m = int(offsets[-1])
+    if m == 0:
+        return (offsets, np.empty(0, np.int32), np.empty(0, np.float32))
+    # Pad the gather to a shape bucket so the program compiles once per
+    # bucket, not per candidate count.
+    mp = 512
+    while mp < m:
+        mp *= 2
+    rows = np.zeros(mp, dtype=np.int32)
+    cols = np.zeros(mp, dtype=np.int32)
+    rows[:m] = np.repeat(np.arange(nbr, dtype=np.int32), counts)
+    within = (np.arange(m, dtype=np.int64)
+              - np.repeat(offsets[:-1], counts))
+    cols[:m] = (np.repeat(z, counts) + within).astype(np.int32)
+    idx_sel, err_sel = _csr_gather_device(
+        rev, bank_idx, lookup, jnp.asarray(rows), jnp.asarray(cols))
+    idx_np, err_np = jax.device_get((idx_sel, err_sel))
+    return (offsets, np.asarray(idx_np[:m], np.int32),
+            np.asarray(err_np[:m], np.float32))
 
 
 @partial(jax.jit, static_argnames=("mode", "comp_mask", "lookahead",

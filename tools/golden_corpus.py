@@ -234,32 +234,38 @@ def cmd_gen(_args):
 
 
 def _ref_encode(item):
-    name, data = item
+    name, data, q = item
     import tempfile
     with tempfile.NamedTemporaryFile(suffix=Path(name).suffix) as f, \
             tempfile.NamedTemporaryFile(suffix=".jpg") as fo:
         f.write(data)
         f.flush()
         r = subprocess.run(
-            [str(REF_BIN), "--quality", str(QUALITY), f.name, fo.name],
+            [str(REF_BIN), "--quality", str(q), f.name, fo.name],
             capture_output=True)
         if r.returncode != 0:
-            return name, -1
-        return name, os.path.getsize(fo.name)
+            return (name, q), -1
+        return (name, q), os.path.getsize(fo.name)
 
 
-def cmd_ref(_args):
+def cmd_ref(args):
+    """Pin reference sizes for every (variant, quality) row. The
+    BASELINE parity band is quality 84-95 (quality.cc:31-74), so the
+    default quality set brackets it: 84, 90, 95."""
+    qualities = [int(q) for q in args.qualities.split(",") if q]
     items = []
     for p in sorted(CORPUS.glob("*.png")):
-        items.extend(variants(p))
+        for name, data in variants(p):
+            for q in qualities:
+                items.append((name, data, q))
     with ThreadPoolExecutor(max_workers=os.cpu_count()) as pool:
         sizes = dict(pool.map(_ref_encode, items))
     with open(GOLDEN, "w") as f:
         f.write("# input  quality  ref_bytes  (local reference build, "
                 "%s)\n" % REF_BIN)
-        for name, _ in items:
-            f.write("%-28s %d  %d\n" % (name, QUALITY, sizes[name]))
-    bad = [n for n, s in sizes.items() if s < 0]
+        for name, _d, q in items:
+            f.write("%-28s %d  %d\n" % (name, q, sizes[(name, q)]))
+    bad = [k for k, s in sizes.items() if s < 0]
     print("pinned %d rows to %s (%d reference failures)"
           % (len(items), GOLDEN, len(bad)))
     for n in bad:
@@ -288,6 +294,8 @@ def cmd_run(args):
     configure()
     from guetzli_tpu.parallel.api import encode_bytes
     rows = load_golden()
+    if args.quality:
+        rows = [r for r in rows if r[1] == args.quality]
     if args.match:
         rows = [r for r in rows if args.match in r[0]]
     if args.sample:
@@ -296,7 +304,7 @@ def cmd_run(args):
     fails = []
     for name, q, ref_size in rows:
         data = (CORPUS / name).read_bytes()
-        out = encode_bytes(data, quality=q)
+        out = encode_bytes(data, quality=q)  # per-row quality
         dev = abs(len(out) - ref_size) / ref_size
         worst = max(worst, dev)
         status = "ok" if dev <= args.band else "FAIL"
@@ -314,7 +322,8 @@ def main():
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
     sub.add_parser("gen")
-    sub.add_parser("ref")
+    refp = sub.add_parser("ref")
+    refp.add_argument("--qualities", default="84,90,95")
     runp = sub.add_parser("run")
     runp.add_argument("--band", type=float, default=0.02)
     runp.add_argument("--cpu", action="store_true",
@@ -323,6 +332,8 @@ def main():
                       help="take every Nth row only")
     runp.add_argument("--match", default="",
                       help="only rows whose name contains this substring")
+    runp.add_argument("--quality", type=int, default=0,
+                      help="only rows at this quality")
     args = ap.parse_args()
     return {"gen": cmd_gen, "ref": cmd_ref, "run": cmd_run}[args.cmd](args)
 
