@@ -609,7 +609,10 @@ class Comparator:
 
     # Fixed changed-block counts: one scatter+compare program per
     # (bucket, M); oversize updates fall back to a full re-upload.
-    _SPARSE_SIZES = (512, 4096, 32768)
+    # The top size must cover an 8 MPix grid's block count: overflowing
+    # the ladder falls back to a FULL coefficient re-upload per
+    # iteration (~130 MB at 8 MPix over a ~50 MB/s link).
+    _SPARSE_SIZES = (512, 4096, 32768, 262144)
 
     def backend_sync_full(self, img):
         """Upload the full padded coefficient state for the back-end flip
@@ -631,7 +634,10 @@ class Comparator:
 
     # Fixed changed-coefficient counts for the per-coefficient delta
     # path: one scatter+compare program per (bucket, M).
-    _SPARSE_COEFF_SIZES = (2048, 16384, 131072)
+    # Top size covers the first up-iterations of multi-MPix encodes
+    # (~2 coeffs/block over 100k+ blocks); overflowing falls back to the
+    # 772-bytes-per-block path (25 MB/iteration at 2 MPix).
+    _SPARSE_COEFF_SIZES = (2048, 16384, 131072, 1048576)
 
     def dispatch_compare_sparse_coeffs(self, img, blocks_idx, cks, vals,
                                        direction, target_mul,

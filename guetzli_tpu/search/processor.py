@@ -961,6 +961,16 @@ class Processor:
                             ac_histograms[:ncomp_out0])
                     else:
                         encoded = self.output_jpeg(jpg_out)
+                if nb >= 1 << 15 and \
+                        self.stats.counters["iters"] % 8 == 0:
+                    # Multi-MPix flip loops churn tens of MB of numpy per
+                    # iteration; glibc grows arenas instead of returning
+                    # them, so RSS creeps through the minutes-long phase.
+                    import ctypes
+                    try:
+                        ctypes.CDLL("libc.so.6").malloc_trim(0)
+                    except Exception:
+                        pass
                 self.stats.log(
                     "Iter %2d: (%d) %s Coeffs[%d/%d] Blocks[%d/%d/%d] "
                     "ValThres[%.4f] Out[%7d] EstErr[%.2f%%]",
