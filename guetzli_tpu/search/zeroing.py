@@ -223,7 +223,11 @@ def _staged_core(blocks, orig_blocks, limit, aux, mode, comp_mask,
     """Shared stage-ladder driver: runs the greedy loop with staged
     compaction, banking finished rows into DEVICE-resident [NB, K]
     buffers (rows in candidate-count-sorted order). Returns
-    (bank_idx_dev, bank_err_dev, perm, inv_perm, limit_np)."""
+    (bank_idx_dev, bank_err_dev, perm, inv_perm, limit_np).
+
+    GUETZLI_TPU_ZEROING_DEBUG=1 prints per-stage walls to stderr."""
+    import time as _t
+    _t0_dbg = _t.time()
     if put is None:
         put = jnp.asarray
     nb = blocks.shape[0]
@@ -251,6 +255,15 @@ def _staged_core(blocks, orig_blocks, limit, aux, mode, comp_mask,
              jnp.full((nb, K), jnp.inf, jnp.float32),
              jnp.int32(0))
 
+    import os
+    import time as _t
+    dbg = os.environ.get("GUETZLI_TPU_ZEROING_DEBUG") == "1"
+    if dbg:
+        jax.block_until_ready(state[0])
+        import sys as _sys
+        _sys.stderr.write("zeroing: nb=%d upload+scores %.2fs\n"
+                          % (nb, _t.time() - _t0_dbg))
+
     bank_idx = jnp.zeros((nb, K), jnp.int32)
     bank_err = jnp.full((nb, K), jnp.inf, jnp.float32)
     size = nb
@@ -258,6 +271,7 @@ def _staged_core(blocks, orig_blocks, limit, aux, mode, comp_mask,
     total = int(sorted_counts[0]) if nb else 0
     ladder = [s for s in _STAGE_SIZES if s < nb]
     while size > 0 and t_done < total:
+        _ts_dbg = _t.time()
         # Run the current prefix until every block outside the next fixed
         # stage size is finished (its candidate count reached).
         nxt = ladder[0] if ladder else None
@@ -267,6 +281,12 @@ def _staged_core(blocks, orig_blocks, limit, aux, mode, comp_mask,
         state = _zeroing_stage(state, limit_p, aux_p, mode, comp_mask,
                                lookahead, early_exit,
                                max_t=jnp.int32(max_t))
+        if dbg:
+            jax.block_until_ready(state[0])
+            import sys as _sys
+            _sys.stderr.write(
+                "zeroing: stage size=%d iters=%d->%d %.2fs\n"
+                % (size, t_done, max_t, _t.time() - _ts_dbg))
         t_done = max_t
         if t_done >= total or nxt is None:
             break
