@@ -238,6 +238,21 @@ def _quant_batch_420_dyn(ybase, ubase, vbase, qs, xyb0, target, w, h, sc,
     return jax.vmap(one)(qs)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_coeffs_only(coeffs, cidx, cvals):
+    """Apply one fixed-size chunk of per-coefficient deltas (no compare).
+    Large flip waves are shipped as a sequence of these (async, in
+    order) followed by one fused scatter+compare on the remainder: the
+    per-iteration upload is then ~m*8 bytes + at most one chunk of
+    padding, instead of a whole power-of-two bucket. The deployment's
+    tunnel client never frees its host-side staging copy of an upload
+    (measured ~8 MB leaked per 1M-entry bucket per iteration,
+    NOTES.md), so bounding upload size also bounds that leak."""
+    shape = coeffs.shape
+    new = coeffs.reshape(-1).at[cidx].set(cvals, mode="drop")
+    return new.reshape(shape)
+
+
 @partial(jax.jit, static_argnames=_DYN_STATICS_444, donate_argnums=(0,))
 def _scatter_coeff_compare_444_dyn(coeffs, cidx, cvals, xyb0, target, w, h,
                                    sc, bwp, bhp, wp, hp, sizex, sizey,
@@ -634,33 +649,48 @@ class Comparator:
 
     # Fixed changed-coefficient counts for the per-coefficient delta
     # path: one scatter+compare program per (bucket, M).
-    # Top size covers the first up-iterations of multi-MPix encodes
-    # (~2 coeffs/block over 100k+ blocks); overflowing falls back to the
-    # 772-bytes-per-block path (25 MB/iteration at 2 MPix).
-    _SPARSE_COEFF_SIZES = (2048, 16384, 131072, 1048576)
+    # Fused scatter+compare rungs; flip waves beyond the top rung ship
+    # their excess through fixed-size _scatter_coeffs_only chunks first,
+    # so arbitrarily large waves (8 MPix first up-iterations flip
+    # millions of coefficients) never fall back to whole-block or
+    # full-plane uploads.
+    _SPARSE_COEFF_SIZES = (2048, 16384, 65536)
+    _SPARSE_COEFF_CHUNK = 65536
 
     def dispatch_compare_sparse_coeffs(self, img, blocks_idx, cks, vals,
                                        direction, target_mul,
                                        factor_x, factor_y):
         """Per-coefficient variant of dispatch_compare_sparse: the flip
         loop's exact (block, c*64+k, new value) triplets, ~8 bytes per
-        flipped coefficient instead of 772 per changed block. Returns
-        None when the update is too large for the coefficient buckets
-        (caller falls back to the block path / full sync)."""
+        flipped coefficient instead of 772 per changed block. Waves
+        larger than the top rung are applied as a sequence of fixed-size
+        scatter-only chunks (async, in dispatch order) before the fused
+        scatter+compare on the remainder."""
         g = self.geom
         bw, _bh = self._dev_grid
         m = len(blocks_idx)
-        if m > self._SPARSE_COEFF_SIZES[-1]:
-            return None
         nbp = g.bwp * g.bhp
-        mp = next(s for s in self._SPARSE_COEFF_SIZES if s >= max(m, 1))
-        cidx = np.full(mp, 3 * nbp * 64, dtype=np.int32)   # OOB = dropped
-        cvals = np.zeros(mp, dtype=np.int32)
+        cidx_all = np.empty(m, dtype=np.int32)
+        cvals_all = np.empty(m, dtype=np.int32)
         if m:
             bp = (blocks_idx // bw) * g.bwp + blocks_idx % bw
-            cidx[:m] = ((cks >> 6) * (nbp * 64) + bp * 64
-                        + (cks & 63)).astype(np.int32)
-            cvals[:m] = vals
+            cidx_all[:] = ((cks >> 6) * (nbp * 64) + bp * 64
+                           + (cks & 63)).astype(np.int32)
+            cvals_all[:] = vals
+        chunk = self._SPARSE_COEFF_CHUNK
+        pos = 0
+        while m - pos > self._SPARSE_COEFF_SIZES[-1]:
+            self._dev_coeffs = _scatter_coeffs_only(
+                self._dev_coeffs, jnp.asarray(cidx_all[pos:pos + chunk]),
+                jnp.asarray(cvals_all[pos:pos + chunk]))
+            pos += chunk
+        rem = m - pos
+        mp = next(s for s in self._SPARSE_COEFF_SIZES if s >= max(rem, 1))
+        cidx = np.full(mp, 3 * nbp * 64, dtype=np.int32)   # OOB = dropped
+        cvals = np.zeros(mp, dtype=np.int32)
+        if rem:
+            cidx[:rem] = cidx_all[pos:]
+            cvals[:rem] = cvals_all[pos:]
         sizex, sizey = 8 * factor_x, 8 * factor_y
         statics = dict(bwp=g.bwp, bhp=g.bhp, wp=g.wp, hp=g.hp,
                        sizex=sizex, sizey=sizey,

@@ -961,7 +961,7 @@ class Processor:
                             ac_histograms[:ncomp_out0])
                     else:
                         encoded = self.output_jpeg(jpg_out)
-                if nb >= 1 << 15 and \
+                if nb >= 1 << 14 and \
                         self.stats.counters["iters"] % 8 == 0:
                     # Multi-MPix flip loops churn tens of MB of numpy per
                     # iteration; glibc grows arenas instead of returning
