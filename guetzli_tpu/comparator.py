@@ -207,18 +207,22 @@ def _quant_batch_444_dyn(base, qs, xyb0, target, w, h, sc,
                          bwp, bhp, wp, hp, sizex, sizey, gbwp, gbhp,
                          direction_pos):
     """Evaluate B requantizations of the device-resident base coefficients
-    in one program: qs [B, 3, 64] -> (scores [B], dmaps [B, hp, wp]).
+    in one program: qs [B, 3, 64] -> scores [B].
 
     TryQuantMatrix's compare (processor.cc:310-338) with the requantize
     (output_image.cc:349-360) moved on-device: each trial uploads 768
-    bytes of quant matrix instead of the full coefficient planes."""
+    bytes of quant matrix instead of the full coefficient planes. Only
+    the scores leave the program: the adopted trial's diffmap is never
+    read before the first back-end compare overwrites it (first_up_iter
+    uses unit weights), and materializing the [B, Hp, Wp] stack cost
+    ~250 MB of device traffic per wave at 8 MPix."""
     def one(q):
         coeffs = _device_quantize(base, q[:, None, :])
-        s, d, _w4 = _cw444_dyn_core(
+        s, _d, _w4 = _cw444_dyn_core(
             coeffs, xyb0, target, w, h, sc, bwp=bwp, bhp=bhp, wp=wp,
             hp=hp, sizex=sizex, sizey=sizey, gbwp=gbwp, gbhp=gbhp,
             direction_pos=direction_pos)
-        return s, d
+        return s
     return jax.vmap(one)(qs)
 
 
@@ -227,14 +231,14 @@ def _quant_batch_420_dyn(ybase, ubase, vbase, qs, xyb0, target, w, h, sc,
                          ybwp, ybhp, cbwp, cbhp, wp, hp, sizex, sizey,
                          gbwp, gbhp, direction_pos):
     def one(q):
-        s, d, _w4 = _cw420_dyn_core(
+        s, _d, _w4 = _cw420_dyn_core(
             _device_quantize(ybase, q[0][None, :]),
             _device_quantize(ubase, q[1][None, :]),
             _device_quantize(vbase, q[2][None, :]),
             xyb0, target, w, h, sc, ybwp=ybwp, ybhp=ybhp, cbwp=cbwp,
             cbhp=cbhp, wp=wp, hp=hp, sizex=sizex, sizey=sizey, gbwp=gbwp,
             gbhp=gbhp, direction_pos=direction_pos)
-        return s, d
+        return s
     return jax.vmap(one)(qs)
 
 
@@ -595,30 +599,34 @@ class Comparator:
         qs_dev = jnp.asarray(qs_np[:bp])
         tgt = jnp.float32(self.target_distance)
         if base[0] == "444":
-            scores, dmaps = _quant_batch_444_dyn(
+            scores = _quant_batch_444_dyn(
                 base[1], qs_dev, self.xyb0, tgt, *self._wh, self._sc,
                 bwp=g.bwp, bhp=g.bhp, wp=g.wp, hp=g.hp, sizex=8, sizey=8,
                 gbwp=g.bwp, gbhp=g.bhp, direction_pos=True)
         else:
-            scores, dmaps = _quant_batch_420_dyn(
+            scores = _quant_batch_420_dyn(
                 base[1], base[2], base[3], qs_dev, self.xyb0, tgt,
                 *self._wh, self._sc, ybwp=g.bwp, ybhp=g.bhp,
                 cbwp=g.wp // 16, cbhp=g.hp // 16, wp=g.wp, hp=g.hp,
                 sizex=8, sizey=8, gbwp=g.bwp, gbhp=g.bhp,
                 direction_pos=True)
-        return (scores, dmaps, b)
+        return (scores, None, b)
 
     def fetch_quant_scores(self, handle):
-        """[B] float scores (one pull); diffmaps stay device-resident."""
-        scores, _dmaps, b = handle
+        """[B] float scores (one pull)."""
+        scores, _unused, b = handle
         return np.asarray(jax.device_get(scores))[:b].astype(np.float64)
 
     def set_quant_result(self, handle, row, score):
         """Adopt trial `row` of a fetched batch as the comparator's
-        current compare state (distance + device-resident distmap)."""
-        _scores, dmaps, _b = handle
+        current distance. The distmap is deliberately left at its
+        previous value: nothing reads it between quant selection and the
+        first back-end compare (first_up_iter uses unit weights and the
+        zeroing phase works from the frozen whole-image mask), and the
+        per-trial [B, Hp, Wp] diffmap stacks were the quant phase's
+        dominant device allocation at 8 MPix."""
+        del handle, row
         self.distance = float(score)
-        self.distmap = dmaps[row]
 
     # -- device-resident back-end coefficient state ----------------------
 

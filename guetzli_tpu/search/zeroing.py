@@ -142,7 +142,7 @@ def _rep_aux(aux, lookahead, mode=None):
 
 
 @partial(jax.jit, static_argnames=("mode", "comp_mask", "lookahead",
-                                   "early_exit"))
+                                   "early_exit"), donate_argnums=(0,))
 def _zeroing_stage(state, limit, aux, mode, comp_mask, lookahead,
                    early_exit, max_t):
     """Advance the greedy loop until iteration `max_t` (or all done).
@@ -208,6 +208,13 @@ def _zeroing_stage(state, limit, aux, mode, comp_mask, lookahead,
         return jnp.logical_and(jnp.any(n_remaining > 0), t < max_t)
 
     return jax.lax.while_loop(cond, body, state)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _bank_rows(bank, rows, start):
+    """bank[start:start+len(rows)] = rows, in place (donated)."""
+    return jax.lax.dynamic_update_slice(
+        bank, rows, (jnp.int32(start), jnp.int32(0)))
 
 
 # Fixed stage sizes: every stage executable after the full-batch one has a
@@ -293,17 +300,19 @@ def _staged_core(blocks, orig_blocks, limit, aux, mode, comp_mask,
         ladder = ladder[1:]
         # Blocks outside the fixed prefix are finished: bank their rows
         # on DEVICE (columns past t_done hold their init values, so full
-        # rows are correct); nothing crosses the link here.
-        bank_idx = bank_idx.at[nxt:size].set(state[3][nxt:size])
-        bank_err = bank_err.at[nxt:size].set(state[4][nxt:size])
+        # rows are correct); nothing crosses the link here. The update
+        # donates the bank so no fresh [NB, K] buffer is created (the
+        # deployment's tunnel client leaks a host mirror per allocation).
+        bank_idx = _bank_rows(bank_idx, state[3][nxt:size], nxt)
+        bank_err = _bank_rows(bank_err, state[4][nxt:size], nxt)
         state = tuple(x[:nxt] for x in state[:5]) + (state[5],)
         aux_p = tuple(a[:nxt] for a in aux_p)
         if per_block_limit:
             limit_p = limit_p[:nxt]
         size = nxt
 
-    bank_idx = bank_idx.at[:size].set(state[3][:size])
-    bank_err = bank_err.at[:size].set(state[4][:size])
+    bank_idx = _bank_rows(bank_idx, state[3][:size], 0)
+    bank_err = _bank_rows(bank_err, state[4][:size], 0)
     return bank_idx, bank_err, perm, inv_perm, limit
 
 
