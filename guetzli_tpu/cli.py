@@ -29,9 +29,18 @@ Flags:
                  tile mesh; byte-identical to single-device output).
 """
 
-K_BYTES_PER_PIXEL = 110          # guetzli.cc:42
-K_LOWEST_MEMUSAGE_MB = 100       # guetzli.cc:43
-K_DEFAULT_MEMLIMIT_MB = 6000     # guetzli.cc:45
+# Host-memory guard (guetzli.cc:42-45 model: base + bytes/pixel). The
+# reference's 110 B/px describes its single-process CPU encoder. This
+# encoder's own working set is comparable (tracemalloc over a full
+# 0.5 MPix encode: 84 MB peak of Python/numpy state, NOTES.md), but the
+# process envelope adds the JAX runtime (compiled executables,
+# workspace arenas: ~1 GB) and, on the tunneled deployment, the device
+# client's per-allocation host mirrors that it never frees (measured
+# ~1.3-2.2 kB/px across 2-8 MPix). The guard models what the process
+# will actually need so its promise is honest on this deployment.
+K_BYTES_PER_PIXEL = 1400         # measured envelope, 2-8 MPix, r04
+K_LOWEST_MEMUSAGE_MB = 1100      # runtime base (imports + executables)
+K_DEFAULT_MEMLIMIT_MB = 16000
 K_DEFAULT_QUALITY = 95
 
 
