@@ -139,9 +139,21 @@ def compare_quant_matrices(a, b):
 
 
 def quant_matrix_heuristic_score(q):
-    """processor.cc:196-204."""
+    """processor.cc:196-204.
+
+    Accumulated in the reference's exact operation order (c-major,
+    k-minor sequential double adds): the generator's ladder lands on
+    exact multiples of total_csf, where a last-ulp difference from
+    pairwise (np.sum) summation flips `score > 0.0` decisions inside
+    _q_for_score and yields a different matrix -- the source of the
+    q84 stripes/noise golden divergences."""
     cs = 1.0 / (1.0 + consts.JPEG_ZIGZAG_ORDER.astype(np.float64) / 2.0)
-    return float(np.sum(0.5 * (q.astype(np.float64) - 1.0) * cs[None, :]))
+    terms = 0.5 * (np.asarray(q, np.float64).reshape(3, 64) - 1.0) * cs
+    score = 0.0
+    for c in range(3):
+        for k in range(64):
+            score += terms[c, k]
+    return score
 
 
 class QuantMatrixGenerator:

@@ -41,19 +41,6 @@ def _rows():
     return sample
 
 
-# Rows where the search lands at a different near-tie point than the
-# reference at coarse quality (q84/q90 on tiny sharp-synthetic content:
-# 1.5-3 KB outputs where a handful of flipped coefficients is >2%). The
-# 2026-08-20 full sweep: 389/396 rows within 2% (most byte-exact); these
-# 7 divergent rows get a bounded 6% band so real regressions still trip.
-KNOWN_DIVERGENT = {
-    ("noise0.png", 84), ("stripes1.jpg", 84),
-    ("stripes1-progressive.jpg", 84), ("stripes1-420.jpg", 84),
-    ("stripes2-420.jpg", 84), ("text1.jpg", 90),
-    ("text1-progressive.jpg", 90),
-}
-
-
 @pytest.mark.parametrize("name,q,ref_size", _rows())
 def test_golden_corpus_row(name, q, ref_size):
     from guetzli_tpu.parallel.api import encode_bytes
@@ -61,5 +48,4 @@ def test_golden_corpus_row(name, q, ref_size):
     out = encode_bytes((CORPUS / name).read_bytes(), quality=q)
     assert out is not None, name
     dev = abs(len(out) - ref_size) / ref_size
-    band = 0.06 if (name, q) in KNOWN_DIVERGENT else 0.02
-    assert dev <= band, (name, len(out), ref_size, dev)
+    assert dev <= 0.02, (name, len(out), ref_size, dev)
