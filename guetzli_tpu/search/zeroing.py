@@ -55,6 +55,26 @@ def candidate_scores(blocks, orig_blocks, comp_mask, new_model=True):
     return jnp.where(valid, score, jnp.inf).reshape(nb, K)
 
 
+def candidate_scores_host(blocks, orig_blocks, comp_mask, new_model=True):
+    """Numpy twin of candidate_scores with identical float32 elementwise
+    semantics (no reductions, so results are bit-equal to the device
+    version)."""
+    nb = blocks.shape[0]
+    absorig = np.abs(orig_blocks).astype(np.float32)
+    if new_model:
+        score = (absorig * np.float32(consts.ZEROING_CSF)[None]
+                 + np.float32(consts.ZEROING_BIAS)[None])
+    else:
+        zigzag = consts.JPEG_ZIGZAG_ORDER.astype(np.float32)
+        score = ((absorig - zigzag[None, None] / np.float32(64.0))
+                 * np.float32(consts.ZEROING_OLD_WEIGHT)[None, :, None]
+                 / np.float32(consts.OLD_CSF)[None, None])
+    chan_ok = np.array([(comp_mask >> c) & 1 for c in range(3)], bool)
+    k_ok = np.arange(64) >= 1
+    valid = (blocks != 0) & chan_ok[None, :, None] & k_ok[None, None, :]
+    return np.where(valid, score, np.inf).reshape(nb, K)
+
+
 def _eval_dispatch(mode, cand, aux, lookahead):
     """Evaluate candidate tiles [NB*L, 3, 64] under the pass's frozen
     state `aux` (a tuple of device arrays, PRE-REPEATED to the candidate
@@ -149,6 +169,12 @@ def _zeroing_stage(state, limit, aux, mode, comp_mask, lookahead,
 
     `state` = (processed [S,3,64], order [S,K], n_remaining [S],
     out_idx [S,K], out_err [S,K], t); see compute_zeroing_order_with.
+
+    The aux repeat/transpose stays INSIDE this jit deliberately: XLA
+    fuses it into the eval as an index transform (a free broadcast);
+    materializing the repeated [.., S*L] aux eagerly and passing it as
+    arguments measured ~1.6x SLOWER per iteration at 2 MPix (the eval
+    then streams the full-size aux from HBM every iteration).
     """
     nb = state[0].shape[0]
     aux_rep = _rep_aux(aux, lookahead, mode)
@@ -248,14 +274,24 @@ def _staged_core(blocks, orig_blocks, limit, aux, mode, comp_mask,
     inv_perm = np.argsort(perm)
     sorted_counts = n_cand_host[perm]
 
-    blocks_p = put(np.asarray(blocks)[perm])
-    orig_p = put(np.asarray(orig_blocks)[perm])
+    blocks_perm = np.asarray(blocks)[perm]
+    blocks_p = put(blocks_perm)
     aux_p = tuple(put(np.asarray(a)[perm]) for a in aux)
     limit_p = jnp.asarray(limit[perm] if per_block_limit else limit)
 
-    scores = candidate_scores(blocks_p, orig_p, comp_mask, new_model)
-    order0 = jnp.argsort(scores, axis=1).astype(jnp.int32)
-    n_cand = jnp.sum(jnp.isfinite(scores), axis=1).astype(jnp.int32)
+    # Scores + initial order on HOST (bit-identical: same f32 elementwise
+    # ops, and both np and jnp argsort are stable): uploads a [NB, K]
+    # uint8 order instead of the int32 original-coefficient planes and
+    # skips the device argsort -- the upload+scores preamble was ~30% of
+    # the zeroing wall at 2 MPix (NOTES.md).
+    scores_h = candidate_scores_host(blocks_perm,
+                                     np.asarray(orig_blocks)[perm],
+                                     comp_mask, new_model)
+    order0 = jnp.asarray(
+        np.argsort(scores_h, axis=1, kind="stable").astype(np.uint8)) \
+        .astype(jnp.int32)
+    n_cand = jnp.asarray(
+        np.isfinite(scores_h).sum(axis=1).astype(np.int32))
 
     state = (blocks_p.astype(jnp.int32), order0, n_cand,
              jnp.zeros((nb, K), jnp.int32),
