@@ -874,8 +874,13 @@ class Comparator:
                 self.rgb_orig, w, h, bw, bh)
             bx = np.tile(np.arange(bw), bh)
             by = np.repeat(np.arange(bh), bw)
-            mask = np.asarray(self._mask_xyz)
-            scales = mask[:, 8 * by, 8 * bx].T.astype(np.float32)  # [NB, 3]
+            # Gather the per-block corner scales ON DEVICE: pulling the
+            # whole [3, Hp, Wp] mask to slice NB pixels shipped ~95 MB
+            # over the ~13 MB/s device->host link at 8 MPix for a
+            # ~1.5 MB result.
+            scales = np.asarray(_gather_block_scales(
+                self._mask_xyz, jnp.asarray(8 * by), jnp.asarray(8 * bx))
+            ).astype(np.float32)                                 # [NB, 3]
             ysel, xsel = tile_ops.edge_gather_indices(bw, bh, w, h)
             if self.geom is not None:
                 # Pad the block axis to the bucket grid so the per-block
@@ -1083,6 +1088,12 @@ class Comparator:
                              | p[1:-1, 0:-2] | p[1:-1, 1:-1] | p[1:-1, 2:]
                              | p[2:, 0:-2] | p[2:, 1:-1] | p[2:, 2:])
         return weight.reshape(-1)
+
+
+@jax.jit
+def _gather_block_scales(mask_xyz, ys, xs):
+    """mask_xyz [3, H, W] -> [NB, 3] values at (ys, xs) per block."""
+    return mask_xyz[:, ys, xs].T
 
 
 def fetch_compare_many(comps, handles):

@@ -29,8 +29,13 @@ staged_zeroing (STAGED_ZEROING) | True | device work tracks the sorted
                           |         | ideal area, zeroing.py).
 lanes (LANES)             | True    | lane-major eval: blocks in lanes is
                           |         | the natural (8,128) VPU layout.
-pallas (PALLAS)           | 0       | fused kernels opt-in pending the
-                          |         | hardware A/B (VERDICT r3 item 2).
+pallas (PALLAS)           | auto    | lane-major fused kernel (2) on
+                          |         | accelerators: chained-timing A/B
+                          |         | r04: 7.2 vs 9.3 ms/wave at 1 MPix
+                          |         | scale (tpu_r04_zeroing_ab.json
+                          |         | correction); XLA (0) on CPU. The
+                          |         | blocks-leading kernel (1) stays
+                          |         | opt-in.
 lanes_dot (LANES_DOT)     | False   | MXU contraction in the block diff:
                           |         | pending hardware A/B (zeroing_ab).
 lanes_quad (LANES_QUAD)   | False   | quadratic-form x/z AC: exact math
@@ -97,7 +102,7 @@ class Config:
     staged_zeroing: bool
     # Evaluation layout / kernels.
     lanes: bool
-    pallas: int
+    pallas: "int | None"
     lanes_dot: "bool | None"
     lanes_quad: bool
     exact_lut: bool
@@ -126,7 +131,7 @@ def current() -> Config:
         sparse=_flag("SPARSE", True),
         staged_zeroing=_flag("STAGED_ZEROING", True),
         lanes=_flag("LANES", True),
-        pallas=_int("PALLAS", 0),
+        pallas=_opt_int("PALLAS"),
         lanes_dot=_opt_flag("LANES_DOT"),
         lanes_quad=_flag("LANES_QUAD", False),
         exact_lut=os.environ.get(_PREFIX + "EXACT_LUT") == "1",

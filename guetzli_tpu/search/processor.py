@@ -453,19 +453,28 @@ class Processor:
         """The pass's frozen per-block evaluation state: (mode, aux) for
         zeroing._eval_dispatch. Starts block comparisons on the
         comparator."""
+        import jax
+
         from guetzli_tpu import config
         cfg = config.current()
+        pallas = cfg.pallas
+        if pallas is None:
+            # Auto: the fused lane-major kernel wins ~20-25% per zeroing
+            # wave at production scale on TPU (chained-timing A/B, r04);
+            # the CPU backend keeps the XLA path (goldens + interpret
+            # cost).
+            pallas = 2 if jax.default_backend() != "cpu" else 0
         self.comparator.start_block_comparisons()
         if img.is_444():
             xyb0_tiles, scales, ysel, xsel = \
                 self.comparator.block_state(1, 1)
-            if cfg.pallas == 1:
+            if pallas == 1:
                 from guetzli_tpu.kernels import tile_compare as tc
                 sy, sx = tc._selection_matrices(np.asarray(ysel),
                                                 np.asarray(xsel))
                 return "444p", (xyb0_tiles, scales, jnp.asarray(sy),
                                 jnp.asarray(sx))
-            if cfg.pallas == 2:
+            if pallas == 2:
                 # Lane-major fused Pallas kernel (Mosaic-compiling
                 # formulation, kernels/tile_compare_lanes.py); probe the
                 # backend once and degrade to '444l' if lowering fails.
