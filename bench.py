@@ -352,12 +352,19 @@ def _mfu_estimate(rgb, w, h, params, reps=10):
     out = {}
 
     def timed(fn):
-        r = fn()
-        jax.block_until_ready(r)
+        """Chained timing: each rep consumes the previous rep's result
+        and the loop ends with ONE host pull. Same-input repetition with
+        block_until_ready is invalid on the tunneled runtime (it returns
+        before remote completion, and identical executions appear to be
+        served from a cache -- see tpu_r04_zeroing_ab.json correction)."""
+        import jax.numpy as jnp
+        acc = fn(jnp.float32(0.0))
+        float(acc)                                   # warm + sync
         t0 = time.time()
+        acc = jnp.float32(0.0)
         for _ in range(reps):
-            r = fn()
-        jax.block_until_ready(r)
+            acc = fn(acc)
+        float(acc)                                   # one pull
         return (time.time() - t0) / reps
 
     peak = _PEAK_FLOPS.get(jax.default_backend())
@@ -380,8 +387,13 @@ def _mfu_estimate(rgb, w, h, params, reps=10):
         fn = cmp_mod._compare_weights_444_dyn
         flops = fn.lower(*args, **statics).compile() \
             .cost_analysis()["flops"]
-        record("compare", flops,
-               timed(lambda: fn(*args, **statics)[0]))
+        cp_dev = args[0]
+
+        def compare_step(acc):
+            r = fn(cp_dev + (acc * 0).astype(cp_dev.dtype), *args[1:],
+                   **statics)
+            return r[0] * 1e-30 + acc + 1.0
+        record("compare", flops, timed(compare_step))
 
         # Zeroing inner op: one lookahead-3 candidate wave over every
         # block (the body of the zeroing while_loop). Measure the
@@ -398,8 +410,13 @@ def _mfu_estimate(rgb, w, h, params, reps=10):
         bargs = (cand, rep3(xyb0_tiles), rep3(scales), rep3(ysel),
                  rep3(xsel))
         bfn = cmp_mod._compare_block_batch
+
+        def block_step(acc):
+            r = bfn(bargs[0] + (acc * 0).astype(bargs[0].dtype),
+                    *bargs[1:])
+            return r.sum() * 1e-30 + acc + 1.0
         bflops = bfn.lower(*bargs).compile().cost_analysis()["flops"]
-        record("block_eval", bflops, timed(lambda: bfn(*bargs)))
+        record("block_eval", bflops, timed(block_step))
         out["block_eval_tiles"] = nb * 3
 
         from guetzli_tpu.ops import tiles_lanes as tl
@@ -407,8 +424,11 @@ def _mfu_estimate(rgb, w, h, params, reps=10):
         lfn = jax.jit(tl.compare_blocks_lanes444)
         lflops = lfn.lower(bargs[0], *aux_t).compile() \
             .cost_analysis()["flops"]
-        record("block_eval_lanes", lflops,
-               timed(lambda: lfn(bargs[0], *aux_t)))
+
+        def lanes_step(acc):
+            r = lfn(bargs[0] + (acc * 0).astype(bargs[0].dtype), *aux_t)
+            return r.sum() * 1e-30 + acc + 1.0
+        record("block_eval_lanes", lflops, timed(lanes_step))
     return out
 
 

@@ -76,12 +76,24 @@ def main():
            "dot": bool(args.dot), "quad": bool(args.quad), "nb": nb}
 
     def timed(fn, *a):
-        r = fn(*a)
-        jax.block_until_ready(r)
+        """Chained timing (see tpu_r04_zeroing_ab.json correction):
+        same-input repetition with block_until_ready under-measures on
+        the proxy runtime, so each rep perturbs the first operand with
+        the running accumulator and consumes the previous result; one
+        host pull ends the loop."""
+        import jax.numpy as jnp
+        x0 = a[0]
+
+        def step(acc):
+            r = fn(x0 + (acc * 0).astype(x0.dtype), *a[1:])
+            first = r[0] if isinstance(r, (tuple, list)) else r
+            return jnp.sum(first) * 1e-30 + acc + 1.0
+        float(step(jnp.float32(0.0)))                 # warm + sync
         t0 = time.time()
+        acc = jnp.float32(0.0)
         for _ in range(args.reps):
-            r = fn(*a)
-        jax.block_until_ready(r)
+            acc = step(acc)
+        float(acc)
         return (time.time() - t0) / args.reps * 1e3   # ms
 
     def make_inputs(rep):
