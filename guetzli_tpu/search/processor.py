@@ -462,8 +462,11 @@ class Processor:
             # Auto: the fused lane-major kernel wins ~20-25% per zeroing
             # wave at production scale on TPU (chained-timing A/B, r04);
             # the CPU backend keeps the XLA path (goldens + interpret
-            # cost).
-            pallas = 2 if jax.default_backend() != "cpu" else 0
+            # cost). Mesh-sharded encodes also stay on the XLA path:
+            # GSPMD partitioning of a pallas_call over the lane axis is
+            # unvalidated.
+            pallas = (2 if jax.default_backend() != "cpu"
+                      and self.comparator.mesh is None else 0)
         self.comparator.start_block_comparisons()
         if img.is_444():
             xyb0_tiles, scales, ysel, xsel = \
