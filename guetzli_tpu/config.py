@@ -61,7 +61,11 @@ pallas_tile_n (PALLAS_TILE_N) | 512 | lane-major kernel lane tile.
 pallas_vmem_mb (PALLAS_VMEM_MB) | 100 | scoped-VMEM budget; r03 bisect
                           |         | blocker class was the 16 MB default.
 pallas_dot (PALLAS_DOT)   | False   | dot-form IDCT inside the kernel.
-bench_batch (BENCH_BATCH) | auto    | bench.py batch width.
+zeroing_debug (ZEROING_DEBUG) | False | stage-wall stderr diagnostics.
+
+Repo-level tools keep two bench-only env knobs outside this dataclass
+(they configure the benchmark, not the encoder): GUETZLI_TPU_BENCH_BATCH
+and GUETZLI_TPU_BENCH_1MPIX (bench.py).
 """
 
 import os
@@ -119,6 +123,8 @@ class Config:
     pallas_tile_n: int
     pallas_vmem_mb: int
     pallas_dot: bool
+    # Diagnostics.
+    zeroing_debug: bool
 
 
 def current() -> Config:
@@ -145,4 +151,5 @@ def current() -> Config:
         pallas_tile_n=_int("PALLAS_TILE_N", 512),
         pallas_vmem_mb=_int("PALLAS_VMEM_MB", 100),
         pallas_dot=os.environ.get(_PREFIX + "PALLAS_DOT") == "1",
+        zeroing_debug=os.environ.get(_PREFIX + "ZEROING_DEBUG") == "1",
     )

@@ -420,7 +420,6 @@ def _tile_compare_pallas(cand, xyb0_tiles, scales, sy, sx,
     # TILE=128 against the 16 MB default ("Scoped allocation ... exceeded
     # scoped vmem limit"). vmem_limit_bytes raises the budget; v5e has
     # 128 MB of VMEM. Tunable while measuring (GUETZLI_TPU_PALLAS_VMEM_MB).
-    import os
     vmem_mb = _config.current().pallas_vmem_mb
     params = pltpu.CompilerParams(vmem_limit_bytes=vmem_mb << 20)
     out = pl.pallas_call(

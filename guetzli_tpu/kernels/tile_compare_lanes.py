@@ -30,8 +30,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from guetzli_tpu.ops import tiles_lanes as tl
 
-import os
-
 from guetzli_tpu import config as _config
 
 TILE_N = _config.current().pallas_tile_n

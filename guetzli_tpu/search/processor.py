@@ -105,14 +105,20 @@ def _backend_pipeline_lag(comparator):
     """Pipeline depth for the back-end up/down loop.
 
     Lag N >= 1 builds iteration k's candidate order from the weights of
-    compare k-N (prefetched in the background) instead of synchronizing on
-    compare k-1: the per-iteration tunnel round trip overlaps host work.
-    Every iteration's serialized output is still scored with its own
-    fetched distance before MaybeOutput, so output *selection* keeps the
-    reference semantics (processor.cc:723-919); only the error-adjustment
-    weights lag by N flip waves. Default: lag 1 on accelerators (the
-    round trip dominates, see NOTES.md RTT analysis), 0 (exact, fully
-    synchronous) on the CPU backend. GUETZLI_TPU_PIPELINE overrides.
+    compare k-N (prefetched in the background) instead of synchronizing
+    on compare k-1. At lag 1 the win is collapsing each iteration's two
+    round trips (dispatch-wait + result pull, ~2 RTT serial) into one:
+    the transfer streams via copy_to_host_async while the dispatch
+    returns, and only the serialize window overlaps host work (bees
+    fetch 1.34 s -> 0.70 s measured). Lag >= 2 additionally overlaps
+    whole iterations (fetch 0.34 s) but the staler weights inflate the
+    down phase (~+9 iterations per lag step, banked in
+    tpu_r04_pipeline_ab.json) -- hence not the default. Every
+    iteration's serialized output is still scored with its own fetched
+    distance before MaybeOutput, so output *selection* keeps the
+    reference semantics (processor.cc:723-919). Default: lag 1 on
+    accelerators, 0 (exact, fully synchronous) on the CPU backend.
+    GUETZLI_TPU_PIPELINE overrides.
     """
     import jax
 
@@ -710,12 +716,14 @@ class Processor:
                         except Exception as e:
                             if "UNAVAILABLE" not in str(e):
                                 raise
-                            # Worker crash: drop the whole pipeline and
-                            # recover from the current host state (the
-                            # re-dispatched compare reflects the newest
-                            # flips -- an extra lag step, crash-only).
-                            while inflight:
-                                inflight.popleft()[0].cancel()
+                            # Worker crash: recover THIS join from the
+                            # current host state (the re-dispatched
+                            # compare reflects the newest flips -- an
+                            # extra lag step, crash-only). Other
+                            # in-flight futures stay queued: their
+                            # joins will fail the same way and recover
+                            # individually, keeping the one-join-per-
+                            # start pairing with the generator intact.
                             result = self._recoverable(
                                 recover, comp.fetch_compare)
                     msg = gen.send(result)
@@ -834,7 +842,12 @@ class Processor:
                 ncand_total = len(cand_err)
                 clamped_off = np.clip(offsets[:nb], 0,
                                       max(ncand_total - 1, 0))
-                num_candidates = offsets[1:] - clamped_off
+                # True per-block counts from the UNclamped offsets: with
+                # the clamped base, a trailing block whose CSR range is
+                # empty (offsets[b] == M) would fabricate one candidate
+                # aliasing the last real entry, and the flip loop could
+                # zero a coefficient the zeroing phase never validated.
+                num_candidates = offsets[1:] - offsets[:nb]
                 if first_up_iter:
                     # Zero distmap: direction is +1 and every block's max
                     # distance is 0 <= target, so all weights are 1.
@@ -957,14 +970,11 @@ class Processor:
                                 bs[_m], slots[_m] & 63]
 
                     def dispatch():
-                        h = self.comparator.dispatch_compare_sparse_coeffs(
-                            img, bs, slots, vals, direction, target_mul,
-                            factor, factor)
-                        if h is None:
-                            h = self.comparator.dispatch_compare_sparse(
-                                img, changed, direction, target_mul,
-                                factor, factor)
-                        return h
+                        # (chunked: handles arbitrarily large flip waves)
+                        return self.comparator \
+                            .dispatch_compare_sparse_coeffs(
+                                img, bs, slots, vals, direction,
+                                target_mul, factor, factor)
                 else:
                     dispatch = lambda: self.comparator \
                         .dispatch_compare_with_weights(

@@ -167,9 +167,10 @@ class TreeQuantSearch:
                 break
             self.cur_q = qn
         self.best_q_out[:] = self.best[0]
-        # Each memoized wave handle pins its [B, Hp, Wp] diffmap stack on
-        # the device (~250 MB/wave at 8 MPix); the adopted distmap was
-        # already sliced out by set_quant_result, so the handles can go.
+        # Drop the memoized wave handles (score arrays). Note the
+        # comparator's distmap is NOT updated by the quant phase at all
+        # (see set_quant_result): nothing may read it before the first
+        # back-end compare overwrites it.
         self.memo.clear()
         # The device-resident base coefficient planes (and the host base
         # image copy) are only needed while trials are being issued.

@@ -298,9 +298,10 @@ def _staged_core(blocks, orig_blocks, limit, aux, mode, comp_mask,
              jnp.full((nb, K), jnp.inf, jnp.float32),
              jnp.int32(0))
 
-    import os
     import time as _t
-    dbg = os.environ.get("GUETZLI_TPU_ZEROING_DEBUG") == "1"
+
+    from guetzli_tpu import config
+    dbg = config.current().zeroing_debug
     if dbg:
         jax.block_until_ready(state[0])
         import sys as _sys

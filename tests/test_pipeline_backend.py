@@ -24,7 +24,10 @@ from guetzli_tpu.io.png import read_png
 
 
 def _encode(name, lag, monkeypatch, quality=95):
-    monkeypatch.setenv("GUETZLI_TPU_PIPELINE", str(lag))
+    if lag is None:
+        monkeypatch.delenv("GUETZLI_TPU_PIPELINE", raising=False)
+    else:
+        monkeypatch.setenv("GUETZLI_TPU_PIPELINE", str(lag))
     rgb, w, h = read_png((FIXTURES / name).read_bytes())
     params = Params()
     params.butteraugli_target = consts.butteraugli_score_for_quality(
@@ -38,8 +41,9 @@ def _encode(name, lag, monkeypatch, quality=95):
 @pytest.mark.parametrize("name", ["bees96x64.png", "synth128x96.png"])
 def test_lag0_matches_serial_driver(name, monkeypatch):
     exact = _encode(name, 0, monkeypatch)
-    monkeypatch.delenv("GUETZLI_TPU_PIPELINE")
-    serial = _encode(name, 0, monkeypatch)
+    # Env unset: the auto default (lag 0 on the CPU test backend) must
+    # reproduce the explicit lag-0 serial driver byte-for-byte.
+    serial = _encode(name, None, monkeypatch)
     assert exact == serial
 
 
