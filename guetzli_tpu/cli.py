@@ -29,18 +29,22 @@ Flags:
                  tile mesh; byte-identical to single-device output).
 """
 
-# Host-memory guard (guetzli.cc:42-45 model: base + bytes/pixel). The
-# reference's 110 B/px describes its single-process CPU encoder. This
-# encoder's own working set is comparable (tracemalloc over a full
-# 0.5 MPix encode: 84 MB peak of Python/numpy state, NOTES.md), but the
-# process envelope adds the JAX runtime (compiled executables,
-# workspace arenas: ~1 GB) and, on the tunneled deployment, the device
-# client's per-allocation host mirrors that it never frees (measured
-# ~1.3-2.2 kB/px across 2-8 MPix). The guard models what the process
-# will actually need so its promise is honest on this deployment.
-K_BYTES_PER_PIXEL = 1400         # measured envelope, 2-8 MPix, r04
-K_LOWEST_MEMUSAGE_MB = 1100      # runtime base (imports + executables)
-K_DEFAULT_MEMLIMIT_MB = 16000
+# Host-memory guard thresholds: the reference's CONTRACT values
+# (guetzli.cc:42-45) so --memlimit behaves identically to the reference
+# CLI for existing workflows. The reference's 110 B/px describes its
+# single-process CPU encoder; this encoder's own algorithmic working
+# set is comparable (tracemalloc over a full 0.5 MPix encode: 84 MB of
+# Python/numpy state, NOTES.md), but the measured PROCESS envelope adds
+# the JAX runtime (~1 GB of executables/arenas) and, on the tunneled
+# deployment, the device client's per-allocation host mirrors that it
+# never frees (~1.3-2.2 kB/px across 2-8 MPix, banked RSS timelines).
+# The guard therefore keeps the reference thresholds for compatibility
+# and WARNS when the measured envelope exceeds the limit.
+K_BYTES_PER_PIXEL = 110          # guetzli.cc:42 (contract)
+K_LOWEST_MEMUSAGE_MB = 100       # guetzli.cc:43 (contract)
+K_DEFAULT_MEMLIMIT_MB = 6000     # guetzli.cc:45 (contract)
+K_MEASURED_BYTES_PER_PIXEL = 1400   # r04 measured envelope, 2-8 MPix
+K_MEASURED_BASE_MB = 1100           # runtime base (imports+executables)
 K_DEFAULT_QUALITY = 95
 
 
@@ -159,7 +163,8 @@ def main(argv=None) -> int:
 
 
 def _check_memory(pixels, memlimit_mb) -> bool:
-    """guetzli.cc:333-356 memory guard."""
+    """guetzli.cc:333-356 memory guard (reference contract), plus an
+    honest warning from the measured envelope of this runtime."""
     if memlimit_mb == -1:
         return True
     estimate_mb = max(K_LOWEST_MEMUSAGE_MB,
@@ -167,6 +172,15 @@ def _check_memory(pixels, memlimit_mb) -> bool:
     if memlimit_mb < estimate_mb or memlimit_mb < K_LOWEST_MEMUSAGE_MB:
         sys.stderr.write("Memory limit would be exceeded. Failing.\n")
         return False
+    measured_mb = max(K_MEASURED_BASE_MB,
+                      pixels * K_MEASURED_BYTES_PER_PIXEL // (1 << 20))
+    if memlimit_mb < measured_mb:
+        sys.stderr.write(
+            "Warning: the measured process envelope on this runtime is "
+            "~%d MB for this image (JAX runtime + device-client "
+            "buffers; see NOTES.md), above the %d MB limit. Proceeding "
+            "per the reference guard model.\n"
+            % (measured_mb, memlimit_mb))
     return True
 
 

@@ -17,9 +17,9 @@ def test_usage_on_missing_args(capsys):
 
 def test_memory_guard():
     assert cli._check_memory(1000 * 1000, 6000)
-    assert not cli._check_memory(100_000_000, 2000)  # 100 MPix over 2 GB
+    assert not cli._check_memory(100_000_000, 200)   # 100 MPix over 200 MB
     assert cli._check_memory(100_000_000, -1)        # --nomemlimit
-    assert not cli._check_memory(10, 50)             # below runtime base
+    assert not cli._check_memory(10, 50)             # below min 100 MB
 
 
 def test_jpeg_memlimit_guard(tmp_path, capsys):
@@ -32,8 +32,8 @@ def test_jpeg_memlimit_guard(tmp_path, capsys):
         buf, format="JPEG")
     p = tmp_path / "in.jpg"
     p.write_bytes(buf.getvalue())
-    # 96*64 pixels is tiny, but a limit below the runtime-base floor
-    # fails the guard.
+    # 96*64 pixels is tiny, but a limit below the 100 MB floor fails
+    # the guard (reference contract).
     assert cli.main(["--memlimit", "50", str(p),
                      str(tmp_path / "o.jpg")]) == 1
     assert "Memory limit" in capsys.readouterr().err
