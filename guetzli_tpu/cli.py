@@ -5,9 +5,12 @@ All compute paths run on the XLA default backend (TPU when present), so
 the reference's backend-selection flags map onto their *semantic* effect:
 --c/--opencl/--cuda enable the early-exit zeroing trade-off those modes
 had (slightly larger output, faster search; our fast output is within
-0.05% of the reference's --c output size), and --checkcl/--checkcuda are
-no-ops -- kernel-vs-reference verification lives in the test suite's
-parity fixtures.
+0.05% of the reference's --c output size), and --checkcl/--checkcuda run
+the runtime dual-execution kernel verification harness (checkcl.py:
+per-stage device results vs the float64 oracle, Pallas and sharded-blur
+dual execution) on the input image before encoding -- the
+clguetzli_test.cpp analog, complementing the test suite's parity
+fixtures.
 """
 
 import sys
