@@ -61,6 +61,15 @@ pallas_tile_n (PALLAS_TILE_N) | 512 | lane-major kernel lane tile.
 pallas_vmem_mb (PALLAS_VMEM_MB) | 100 | scoped-VMEM budget; r03 bisect
                           |         | blocker class was the 16 MB default.
 pallas_dot (PALLAS_DOT)   | False   | dot-form IDCT inside the kernel.
+zeroing_fused (ZEROING_FUSED) | auto | whole greedy loop inside ONE
+                          |         | Pallas kernel (zeroing_loop.py);
+                          |         | auto = on exactly where the fused
+                          |         | lane kernel is the default (TPU
+                          |         | 444, no mesh). The r04 shell
+                          |         | overhead (~50 ms/iter around a
+                          |         | ~7 ms eval) motivates it; banked
+                          |         | r05 A/B decides the default.
+zeroing_tile_n (ZEROING_TILE_N) | 512 | greedy-loop kernel lane tile.
 zeroing_debug (ZEROING_DEBUG) | False | stage-wall stderr diagnostics.
 
 Repo-level tools keep two bench-only env knobs outside this dataclass
@@ -123,6 +132,8 @@ class Config:
     pallas_tile_n: int
     pallas_vmem_mb: int
     pallas_dot: bool
+    zeroing_fused: "bool | None"
+    zeroing_tile_n: int
     # Diagnostics.
     zeroing_debug: bool
 
@@ -151,5 +162,7 @@ def current() -> Config:
         pallas_tile_n=_int("PALLAS_TILE_N", 512),
         pallas_vmem_mb=_int("PALLAS_VMEM_MB", 100),
         pallas_dot=os.environ.get(_PREFIX + "PALLAS_DOT") == "1",
+        zeroing_fused=_opt_flag("ZEROING_FUSED"),
+        zeroing_tile_n=_int("ZEROING_TILE_N", 512),
         zeroing_debug=os.environ.get(_PREFIX + "ZEROING_DEBUG") == "1",
     )

@@ -419,6 +419,118 @@ def _csr_gather_device(rev, bank_idx, real_index, rows, cols):
     return idx_r[rows, cols], rev[rows, cols]
 
 
+def _fused_wanted(mode, put, nb):
+    """Whether the fused greedy-loop Pallas kernel drives this zeroing
+    call (kernels/zeroing_loop.py). Auto: exactly where the fused lane
+    compare kernel is already the production default (mode '444pl' =
+    accelerator, no mesh); force with GUETZLI_TPU_ZEROING_FUSED=1
+    (interpret-mode on CPU -- the parity-test path), disable with =0."""
+    from guetzli_tpu import config
+    f = config.current().zeroing_fused
+    if f is False or nb == 0:
+        return False
+    if mode not in ("444pl", "444l", "444"):
+        return False          # 420 passes / matrix-aux keep the XLA loop
+    if put is not None and put is not jnp.asarray:
+        return False          # mesh-sharded encodes keep the GSPMD path
+    if f is None and mode != "444pl":
+        return False
+    from guetzli_tpu.kernels import zeroing_loop
+    return zeroing_loop.fused_available()
+
+
+def _fused_core(blocks, orig_blocks, limit, aux, comp_mask, lookahead,
+                new_model, early_exit):
+    """Fused-kernel twin of _staged_core: same host preamble (candidate
+    counts, descending-count sort, host scores + initial order), then ONE
+    pallas_call runs every block's whole greedy loop with per-tile trip
+    counts (kernels/zeroing_loop.py) instead of the staged while_loop
+    ladder. Returns (bank_idx_dev [NBp, K], bank_err_dev, perm, inv_perm,
+    limit_np) -- rows past NB are tile padding (count 0, rails at their
+    init values), which the shared CSR compaction never indexes."""
+    import time as _t
+
+    from guetzli_tpu import config
+    from guetzli_tpu.kernels import zeroing_loop
+
+    _t0_dbg = _t.time()
+    nb = blocks.shape[0]
+    limit = np.asarray(limit, dtype=np.float32)
+    per_block_limit = limit.ndim == 1
+    chan_ok = np.array([(comp_mask >> c) & 1 for c in range(3)], bool)
+    valid = (np.asarray(blocks) != 0) & chan_ok[None, :, None]
+    valid[:, :, 0] = False
+    n_cand_host = valid.reshape(nb, K).sum(axis=1).astype(np.int64)
+    perm = np.argsort(-n_cand_host, kind="stable")
+    inv_perm = np.argsort(perm)
+
+    tn = config.current().zeroing_tile_n
+    nbp = -(-nb // tn) * tn
+
+    blocks_perm = np.asarray(blocks)[perm]
+    scores_h = candidate_scores_host(blocks_perm,
+                                     np.asarray(orig_blocks)[perm],
+                                     comp_mask, new_model)
+    order0_h = np.argsort(scores_h, axis=1, kind="stable").astype(np.uint8)
+    n_cand_p = np.zeros(nbp, np.int32)
+    n_cand_p[:nb] = np.isfinite(scores_h).sum(axis=1).astype(np.int32)
+    tile_bounds = n_cand_p[::tn].copy()    # desc-sorted: first = tile max
+
+    def padb(a):
+        if nbp == a.shape[0]:
+            return a
+        return np.concatenate(
+            [a, np.zeros((nbp - a.shape[0],) + a.shape[1:], a.dtype)])
+
+    blocks_p = jnp.asarray(padb(blocks_perm))
+    order0 = jnp.asarray(padb(order0_h)).astype(jnp.int32)
+    aux_p = tuple(jnp.asarray(padb(np.asarray(a)[perm])) for a in aux)
+    lim_p = np.zeros(nbp, np.float32)
+    lim_p[:nb] = limit[perm] if per_block_limit else limit
+
+    dbg = config.current().zeroing_debug
+    if dbg:
+        jax.block_until_ready(blocks_p)
+        import sys as _sys
+        _sys.stderr.write("zeroing-fused: nb=%d (pad %d) upload+scores "
+                          "%.2fs\n" % (nb, nbp, _t.time() - _t0_dbg))
+        _tk_dbg = _t.time()
+
+    interpret = jax.default_backend() == "cpu"
+    bank_idx, bank_err = _fused_program(
+        blocks_p, order0, jnp.asarray(n_cand_p), aux_p,
+        jnp.asarray(lim_p), jnp.asarray(tile_bounds.astype(np.int32)),
+        lookahead, early_exit, interpret)
+    if dbg:
+        jax.block_until_ready(bank_err)
+        import sys as _sys
+        _sys.stderr.write("zeroing-fused: kernel (%d tiles, max_t %d) "
+                          "%.2fs\n" % (len(tile_bounds),
+                                       int(tile_bounds.max(initial=0)),
+                                       _t.time() - _tk_dbg))
+    return bank_idx, bank_err, perm, inv_perm, limit
+
+
+@partial(jax.jit, static_argnames=("lookahead", "early_exit",
+                                   "interpret"))
+def _fused_program(blocks_p, order0, n_cand, aux_p, lim_p, tile_bounds,
+                   lookahead, early_exit, interpret):
+    """Device program around the greedy-loop kernel: transpose the
+    blocks-leading operands to lane-major once, run the kernel, transpose
+    the rails back to the [NBp, K] banking layout."""
+    from guetzli_tpu.kernels import zeroing_loop
+    from guetzli_tpu.ops import tiles_lanes as tl
+    nbp = blocks_p.shape[0]
+    coeffs_t = jnp.transpose(blocks_p.reshape(nbp, K).astype(jnp.int32))
+    order_t = jnp.transpose(order0)
+    x0, sc, ymax, xmax = tl.transpose_aux_444(*aux_p)
+    out_idx_t, out_err_t = zeroing_loop.zeroing_loop_lanes(
+        coeffs_t, order_t, n_cand[None, :], x0, sc, ymax[None, :],
+        xmax[None, :], lim_p[None, :], tile_bounds,
+        lookahead=lookahead, early_exit=early_exit, interpret=interpret)
+    return jnp.transpose(out_idx_t), jnp.transpose(out_err_t)
+
+
 def compute_zeroing_csr_staged(blocks, orig_blocks, limit, aux, mode,
                                comp_mask, real_index=None, lookahead=3,
                                new_model=True, early_exit=False,
@@ -438,11 +550,24 @@ def compute_zeroing_csr_staged(blocks, orig_blocks, limit, aux, mode,
     (padded) input block axis (identity when None); the caller uses it
     to drop bucket-padding rows and to split lockstep-concatenated
     corpora without pulling padded rows.
+
+    On accelerators in 444 mode the greedy loop runs inside ONE fused
+    Pallas kernel (kernels/zeroing_loop.py, see _fused_wanted); the
+    staged while_loop ladder remains the fallback and the mesh/420/CPU
+    path. Both produce bit-identical rails, so the CSR below is
+    path-independent (tests/test_zeroing_fused.py).
     """
-    bank_idx, bank_err, perm, inv_perm, limit_np = _staged_core(
-        blocks, orig_blocks, limit, aux, mode, comp_mask, lookahead,
-        new_model, early_exit, put)
-    nb = bank_err.shape[0]
+    if _fused_wanted(mode, put, blocks.shape[0]):
+        bank_idx, bank_err, perm, inv_perm, limit_np = _fused_core(
+            blocks, orig_blocks, limit, aux, comp_mask, lookahead,
+            new_model, early_exit)
+    else:
+        bank_idx, bank_err, perm, inv_perm, limit_np = _staged_core(
+            blocks, orig_blocks, limit, aux, mode, comp_mask, lookahead,
+            new_model, early_exit, put)
+    # Real (unpadded) block count: the fused core's bank carries extra
+    # lane-tile padding rows that inv_perm/real_index never select.
+    nb = blocks.shape[0]
     if real_index is None:
         real_index = np.arange(nb, dtype=np.int64)
     # Output row r lives at permuted row inv_perm[real_index[r]].
