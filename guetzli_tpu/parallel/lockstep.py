@@ -19,6 +19,7 @@ import sys
 
 import numpy as np
 
+from guetzli_tpu.runtime import is_worker_crash
 from guetzli_tpu.search.processor import QuantMatrixGenerator
 
 _TARGET_MUL_HIGH = 0.97
@@ -370,7 +371,7 @@ def _corpus_masking(trip, comp_mask, target_muls, stop_early, threads=1,
                 early_exit=p0.zeroing_early_exit)
             break
         except Exception as e:
-            if "UNAVAILABLE" not in str(e) or attempt == 2:
+            if not is_worker_crash(e) or attempt == 2:
                 raise
             sys.stderr.write("worker crash during corpus zeroing; "
                              "recovering\n")
@@ -436,7 +437,7 @@ def _corpus_masking(trip, comp_mask, target_muls, stop_early, threads=1,
             try:
                 results = cmp_mod.fetch_compare_many(comps, handles)
             except Exception as e:
-                if "UNAVAILABLE" not in str(e):
+                if not is_worker_crash(e):
                     raise
                 sys.stderr.write("worker crash during corpus back-end; "
                                  "recovering per image\n")

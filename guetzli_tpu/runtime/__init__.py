@@ -41,6 +41,40 @@ def force_cpu():
         pass
 
 
+# RPC status-code prefixes that mean the remote device worker died or the
+# link to it dropped (device buffers lost, host state intact -- the
+# recoverable class). jax surfaces runtime failures as JaxRuntimeError
+# (alias XlaRuntimeError) whose message is prefixed with the absl status
+# code name; anything else (XlaRuntimeError INVALID_ARGUMENT, Python
+# errors, OOM) is a real bug and must propagate.
+_CRASH_PREFIXES = (
+    "UNAVAILABLE",          # worker process gone / tunnel reset
+    "DEADLINE_EXCEEDED",    # RPC timed out against a dead worker
+    "ABORTED",              # server-side session torn down
+)
+
+
+def is_worker_crash(e):
+    """Typed predicate for device-worker-crash recovery (shared by every
+    recovery site: processor._recoverable, the zeroing retry loops, the
+    pipelined back-end joins, and the lockstep corpus driver).
+
+    True only for jax runtime errors whose status code is a
+    connectivity-loss code -- NOT for arbitrary exceptions whose text
+    happens to contain the word (the r04 string-match was
+    `"UNAVAILABLE" in str(e)` on ANY exception type)."""
+    try:
+        from jax.errors import JaxRuntimeError
+    except ImportError:                              # very old jax
+        JaxRuntimeError = RuntimeError
+    if not isinstance(e, JaxRuntimeError):
+        return False
+    msg = str(e)
+    return msg.startswith(_CRASH_PREFIXES) \
+        or any(("%s:" % p) in msg.split("\n", 1)[0]
+               for p in _CRASH_PREFIXES)
+
+
 def configure(cache_dir=None):
     """Enable the persistent XLA compilation cache. Call before first jit."""
     import jax

@@ -27,6 +27,7 @@ from guetzli_tpu.codec import writer as jwriter
 from guetzli_tpu.codec.encoder import encode_rgb_to_jpeg
 from guetzli_tpu.comparator import Comparator
 from guetzli_tpu.search import state as st
+from guetzli_tpu.runtime import is_worker_crash
 from guetzli_tpu.search import zeroing
 
 K_BLOCK = 192
@@ -274,7 +275,7 @@ class Processor:
             try:
                 return fetch_fn(pending)
             except Exception as e:
-                if "UNAVAILABLE" not in str(e) or attempt == 2:
+                if not is_worker_crash(e) or attempt == 2:
                     raise
                 sys.stderr.write("TPU worker crash during compare; "
                                  "recovering\n")
@@ -603,7 +604,7 @@ class Processor:
                                                  np.asarray(nn))
                 break
             except Exception as e:
-                if "UNAVAILABLE" not in str(e) or attempt == 2:
+                if not is_worker_crash(e) or attempt == 2:
                     raise
                 sys.stderr.write(
                     "TPU worker crash during zeroing; recovering "
@@ -714,7 +715,7 @@ class Processor:
                             comp.distmap = dmap
                             result = (d, w4)
                         except Exception as e:
-                            if "UNAVAILABLE" not in str(e):
+                            if not is_worker_crash(e):
                                 raise
                             # Worker crash: recover THIS join from the
                             # current host state (the re-dispatched
