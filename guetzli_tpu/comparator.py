@@ -894,7 +894,22 @@ class Comparator:
                     out = g.pad_blocks(flat, bw, bh, g.bwp, g.bhp)
                     return out.reshape((nbp,) + a.shape[1:])
 
-                xyb0_tiles = padb(xyb0_tiles)
+                # The opsin tiles live on device (opsin_dynamics_blocks
+                # output); pad them with a DEVICE gather -- the numpy
+                # padb would pull ~[NB, 3, 64] floats over the tunnel's
+                # slow direction (~1.1 s at 1 MPix) just to zero-extend
+                # the block axis. Mesh encodes keep the host path
+                # (_put_blocks shards from numpy).
+                if self.mesh is None:
+                    r = np.arange(nbp, dtype=np.int64)
+                    ry, rx = r // g.bwp, r % g.bwp
+                    vrow = (ry < bh) & (rx < bw)
+                    src = np.where(vrow, ry * bw + rx, 0).astype(np.int32)
+                    xyb0_tiles = _pad_rows_dev(
+                        jnp.asarray(xyb0_tiles), jnp.asarray(src),
+                        jnp.asarray(vrow))
+                else:
+                    xyb0_tiles = padb(xyb0_tiles)
                 scales = padb(scales)
                 ysel = padb(ysel)
                 xsel = padb(xsel)
@@ -1088,6 +1103,15 @@ class Comparator:
                              | p[1:-1, 0:-2] | p[1:-1, 1:-1] | p[1:-1, 2:]
                              | p[2:, 0:-2] | p[2:, 1:-1] | p[2:, 2:])
         return weight.reshape(-1)
+
+
+@jax.jit
+def _pad_rows_dev(a, src, valid):
+    """Zero-padded row gather: out[r] = a[src[r]] where valid[r] else 0
+    (the device form of PadGeometry.pad_blocks on the leading axis)."""
+    out = a[src]
+    shape = (-1,) + (1,) * (a.ndim - 1)
+    return jnp.where(valid.reshape(shape), out, jnp.zeros_like(out))
 
 
 @jax.jit

@@ -484,7 +484,17 @@ def _fused_core(blocks, orig_blocks, limit, aux, comp_mask, lookahead,
 
     blocks_p = jnp.asarray(padb(blocks_perm))
     order0 = jnp.asarray(padb(order0_h)).astype(jnp.int32)
-    aux_p = tuple(jnp.asarray(padb(np.asarray(a)[perm])) for a in aux)
+    # Aux stays ON DEVICE: the permutation runs as a device gather inside
+    # the fused program (perm_pad below). The staged path's
+    # np.asarray(aux)[perm] pulls the [NB, 3, 64] opsin tiles over the
+    # tunnel's ~13 MB/s device->host direction (~1.1 s at 1 MPix) only to
+    # re-upload them permuted; with the r05 kernel at 0.1 s that pull WAS
+    # the zeroing phase (tpu_r05_phase_fused_1m.log).
+    aux_d = tuple(jnp.asarray(a) for a in aux)
+    perm_pad = np.zeros(nbp, np.int32)
+    perm_pad[:nb] = perm            # padding rows gather row 0: their
+    # content is irrelevant (count 0 -> never active, rails dropped by
+    # real_index) and lanes are elementwise-isolated.
     lim_p = np.zeros(nbp, np.float32)
     lim_p[:nb] = limit[perm] if per_block_limit else limit
 
@@ -498,8 +508,9 @@ def _fused_core(blocks, orig_blocks, limit, aux, comp_mask, lookahead,
 
     interpret = jax.default_backend() == "cpu"
     bank_idx, bank_err = _fused_program(
-        blocks_p, order0, jnp.asarray(n_cand_p), aux_p,
-        jnp.asarray(lim_p), jnp.asarray(tile_bounds.astype(np.int32)),
+        blocks_p, order0, jnp.asarray(n_cand_p), aux_d,
+        jnp.asarray(perm_pad), jnp.asarray(lim_p),
+        jnp.asarray(tile_bounds.astype(np.int32)),
         lookahead, early_exit, interpret)
     if dbg:
         jax.block_until_ready(bank_err)
@@ -513,16 +524,18 @@ def _fused_core(blocks, orig_blocks, limit, aux, comp_mask, lookahead,
 
 @partial(jax.jit, static_argnames=("lookahead", "early_exit",
                                    "interpret"))
-def _fused_program(blocks_p, order0, n_cand, aux_p, lim_p, tile_bounds,
-                   lookahead, early_exit, interpret):
-    """Device program around the greedy-loop kernel: transpose the
-    blocks-leading operands to lane-major once, run the kernel, transpose
-    the rails back to the [NBp, K] banking layout."""
+def _fused_program(blocks_p, order0, n_cand, aux_d, perm_pad, lim_p,
+                   tile_bounds, lookahead, early_exit, interpret):
+    """Device program around the greedy-loop kernel: permute+pad the aux
+    by a device gather, transpose the operands to lane-major once, run
+    the kernel, transpose the rails back to the [NBp, K] banking
+    layout."""
     from guetzli_tpu.kernels import zeroing_loop
     from guetzli_tpu.ops import tiles_lanes as tl
     nbp = blocks_p.shape[0]
     coeffs_t = jnp.transpose(blocks_p.reshape(nbp, K).astype(jnp.int32))
     order_t = jnp.transpose(order0)
+    aux_p = tuple(a[perm_pad] for a in aux_d)
     x0, sc, ymax, xmax = tl.transpose_aux_444(*aux_p)
     out_idx_t, out_err_t = zeroing_loop.zeroing_loop_lanes(
         coeffs_t, order_t, n_cand[None, :], x0, sc, ymax[None, :],
