@@ -408,15 +408,20 @@ def _csr_counts_device(bank_err, limit_v, real_index, scalar_limit):
     lim = limit_v if scalar_limit else limit_v[real_index][:, None]
     num = jnp.sum(rev <= lim, axis=1).astype(jnp.int32)
     z = jnp.sum(rev <= 0.0, axis=1).astype(jnp.int32)
-    return rev, num, jnp.minimum(z, num)
+    # One [2, NBR] array: a device_get of a 2-tuple costs ~2 tunnel
+    # round trips (NOTES.md tunnel facts); packing halves the pull.
+    return rev, jnp.stack([num, jnp.minimum(z, num)])
 
 
 @jax.jit
 def _csr_gather_device(rev, bank_idx, real_index, rows, cols):
     """Gather the selected (idx, err) pairs: rows/cols index the real-
-    block-order rev matrix; idx comes from the banked (permuted) rails."""
+    block-order rev matrix; idx comes from the banked (permuted) rails.
+    Packed as one [2, M] f32 pull (idx values are < 192, exact in f32;
+    see _csr_counts_device on why one array)."""
     idx_r = bank_idx[real_index]                       # [NBR, K]
-    return idx_r[rows, cols], rev[rows, cols]
+    return jnp.stack([idx_r[rows, cols].astype(jnp.float32),
+                      rev[rows, cols]])
 
 
 def _fused_wanted(mode, put, nb):
@@ -482,8 +487,12 @@ def _fused_core(blocks, orig_blocks, limit, aux, comp_mask, lookahead,
         return np.concatenate(
             [a, np.zeros((nbp - a.shape[0],) + a.shape[1:], a.dtype)])
 
-    blocks_p = jnp.asarray(padb(blocks_perm))
-    order0 = jnp.asarray(padb(order0_h)).astype(jnp.int32)
+    # Host operands go into _fused_program as numpy: the jit call ships
+    # them as one batched transfer instead of N separate jnp.asarray
+    # uploads (each ~a round trip on the tunneled runtime). The order
+    # ships as uint8 (values < 192) and widens on device.
+    blocks_p = padb(blocks_perm)
+    order0 = padb(order0_h)
     # Aux stays ON DEVICE: the permutation runs as a device gather inside
     # the fused program (perm_pad below). The staged path's
     # np.asarray(aux)[perm] pulls the [NB, 3, 64] opsin tiles over the
@@ -500,18 +509,15 @@ def _fused_core(blocks, orig_blocks, limit, aux, comp_mask, lookahead,
 
     dbg = config.current().zeroing_debug
     if dbg:
-        jax.block_until_ready(blocks_p)
         import sys as _sys
-        _sys.stderr.write("zeroing-fused: nb=%d (pad %d) upload+scores "
+        _sys.stderr.write("zeroing-fused: nb=%d (pad %d) host prep "
                           "%.2fs\n" % (nb, nbp, _t.time() - _t0_dbg))
         _tk_dbg = _t.time()
 
     interpret = jax.default_backend() == "cpu"
     bank_idx, bank_err = _fused_program(
-        blocks_p, order0, jnp.asarray(n_cand_p), aux_d,
-        jnp.asarray(perm_pad), jnp.asarray(lim_p),
-        jnp.asarray(tile_bounds.astype(np.int32)),
-        lookahead, early_exit, interpret)
+        blocks_p, order0, n_cand_p, aux_d, perm_pad, lim_p,
+        tile_bounds.astype(np.int32), lookahead, early_exit, interpret)
     if dbg:
         jax.block_until_ready(bank_err)
         import sys as _sys
@@ -534,7 +540,7 @@ def _fused_program(blocks_p, order0, n_cand, aux_d, perm_pad, lim_p,
     from guetzli_tpu.ops import tiles_lanes as tl
     nbp = blocks_p.shape[0]
     coeffs_t = jnp.transpose(blocks_p.reshape(nbp, K).astype(jnp.int32))
-    order_t = jnp.transpose(order0)
+    order_t = jnp.transpose(order0.astype(jnp.int32))
     aux_p = tuple(a[perm_pad] for a in aux_d)
     x0, sc, ymax, xmax = tl.transpose_aux_444(*aux_p)
     out_idx_t, out_err_t = zeroing_loop.zeroing_loop_lanes(
@@ -588,9 +594,10 @@ def compute_zeroing_csr_staged(blocks, orig_blocks, limit, aux, mode,
     scalar_limit = limit_np.ndim == 0
     limit_v = (jnp.float32(limit_np) if scalar_limit
                else jnp.asarray(limit_np[perm]))
-    rev, num_d, z_d = _csr_counts_device(bank_err, limit_v, lookup,
-                                         scalar_limit)
-    num, z = np.asarray(num_d), np.asarray(z_d)
+    rev, nz_d = _csr_counts_device(bank_err, limit_v, lookup,
+                                   scalar_limit)
+    nz = np.asarray(nz_d)
+    num, z = nz[0], nz[1]
     counts = (num - z).astype(np.int64)
     nbr = len(counts)
     offsets = np.zeros(nbr + 1, dtype=np.int64)
@@ -609,11 +616,10 @@ def compute_zeroing_csr_staged(blocks, orig_blocks, limit, aux, mode,
     within = (np.arange(m, dtype=np.int64)
               - np.repeat(offsets[:-1], counts))
     cols[:m] = (np.repeat(z, counts) + within).astype(np.int32)
-    idx_sel, err_sel = _csr_gather_device(
-        rev, bank_idx, lookup, jnp.asarray(rows), jnp.asarray(cols))
-    idx_np, err_np = jax.device_get((idx_sel, err_sel))
-    return (offsets, np.asarray(idx_np[:m], np.int32),
-            np.asarray(err_np[:m], np.float32))
+    packed = np.asarray(_csr_gather_device(
+        rev, bank_idx, lookup, jnp.asarray(rows), jnp.asarray(cols)))
+    return (offsets, packed[0, :m].astype(np.int32),
+            np.asarray(packed[1, :m], np.float32))
 
 
 @partial(jax.jit, static_argnames=("mode", "comp_mask", "lookahead",
