@@ -429,6 +429,55 @@ def _mfu_estimate(rgb, w, h, params, reps=10):
             r = lfn(bargs[0] + (acc * 0).astype(bargs[0].dtype), *aux_t)
             return r.sum() * 1e-30 + acc + 1.0
         record("block_eval_lanes", lflops, timed(lanes_step))
+
+        # Production zeroing: the fused greedy-loop Pallas kernel
+        # (kernels/zeroing_loop.py) runs the WHOLE search in one call.
+        # FLOPs modeled as evals-executed x the XLA-costed flops of one
+        # lane eval (identical op chain), since cost_analysis cannot see
+        # inside the custom call.
+        try:
+            from guetzli_tpu import config as _cfg
+            from guetzli_tpu.kernels import zeroing_loop as zl
+            from guetzli_tpu.search import zeroing as z
+            if jax.default_backend() != "cpu" and zl.fused_available():
+                import jax.numpy as jnp
+                tn = _cfg.current().zeroing_tile_n
+                blocks = np.ascontiguousarray(
+                    np.asarray(cp).transpose(1, 0, 2)).astype(np.int32)
+                nb2 = blocks.shape[0]
+                nbp2 = -(-nb2 // tn) * tn
+                scores = z.candidate_scores_host(blocks, blocks, 7)
+                order_h = np.argsort(scores, 1,
+                                     kind="stable").astype(np.uint8)
+                ncand = np.isfinite(scores).sum(1).astype(np.int32)
+                srt = np.argsort(-ncand, kind="stable")
+
+                def padz(a):
+                    pad = nbp2 - a.shape[0]
+                    return np.concatenate(
+                        [a, np.zeros((pad,) + a.shape[1:], a.dtype)]) \
+                        if pad else a
+                blocks_p = jnp.asarray(padz(blocks[srt]))
+                order_p = padz(order_h[srt])
+                ncand_p = padz(ncand[srt])
+                tile_bounds = ncand_p[::tn].astype(np.int32).copy()
+                perm_pad = np.zeros(nbp2, np.int32)
+                perm_pad[:nb2] = srt
+                aux_d = (xyb0_tiles, scales, ysel, xsel)
+                lim_p = np.zeros(nbp2, np.float32)
+                evals = int(tile_bounds.sum()) * tn * 3
+                kflops = evals * (lflops / (nb * 3))
+
+                def kern_step(acc):
+                    bi, _be = z._fused_program(
+                        blocks_p + (acc * 0).astype(jnp.int32), order_p,
+                        ncand_p, aux_d, perm_pad, lim_p, tile_bounds,
+                        3, False, False)
+                    return bi.sum() * 1e-30 + acc + 1.0
+                record("zeroing_kernel", kflops, timed(kern_step))
+                out["zeroing_kernel_evals"] = evals
+        except Exception as e:                   # never fail the bench
+            sys.stderr.write("zeroing kernel mfu failed: %s\n" % e)
     return out
 
 
