@@ -36,10 +36,6 @@ pallas (PALLAS)           | auto    | lane-major fused kernel (2) on
                           |         | correction); XLA (0) on CPU. The
                           |         | blocks-leading kernel (1) stays
                           |         | opt-in.
-lanes_dot (LANES_DOT)     | False   | MXU contraction in the block diff:
-                          |         | pending hardware A/B (zeroing_ab).
-lanes_quad (LANES_QUAD)   | False   | quadratic-form x/z AC: exact math
-                          |         | (4e-7 rel) but unproven on TPU.
 exact_lut (EXACT_LUT)     | False   | closed-form masking LUTs match the
                           |         | table read to float32 noise and
                           |         | avoid gathers; =1 restores tables.
@@ -60,7 +56,10 @@ pallas_tile (PALLAS_TILE) | 128     | blocks-leading kernel tile.
 pallas_tile_n (PALLAS_TILE_N) | 512 | lane-major kernel lane tile.
 pallas_vmem_mb (PALLAS_VMEM_MB) | 100 | scoped-VMEM budget; r03 bisect
                           |         | blocker class was the 16 MB default.
-pallas_dot (PALLAS_DOT)   | False   | dot-form IDCT inside the kernel.
+(deleted r05: LANES_DOT / LANES_QUAD / PALLAS_DOT -- the MXU-contraction
+variants failed Mosaic lowering inside the production kernels and their
+XLA fallback lost the A/B, tpu_r05_dot_fused_1m.json; per VERDICT r04
+item 5 losing flags are deleted, not left "pending".)
 zeroing_fused (ZEROING_FUSED) | auto | whole greedy loop inside ONE
                           |         | Pallas kernel (zeroing_loop.py);
                           |         | auto = on exactly where the fused
@@ -116,8 +115,6 @@ class Config:
     # Evaluation layout / kernels.
     lanes: bool
     pallas: "int | None"
-    lanes_dot: "bool | None"
-    lanes_quad: bool
     exact_lut: bool
     lane_safe: "bool | None"
     padded: bool
@@ -131,7 +128,6 @@ class Config:
     pallas_tile: int
     pallas_tile_n: int
     pallas_vmem_mb: int
-    pallas_dot: bool
     zeroing_fused: "bool | None"
     zeroing_tile_n: int
     # Diagnostics.
@@ -149,8 +145,6 @@ def current() -> Config:
         staged_zeroing=_flag("STAGED_ZEROING", True),
         lanes=_flag("LANES", True),
         pallas=_opt_int("PALLAS"),
-        lanes_dot=_opt_flag("LANES_DOT"),
-        lanes_quad=_flag("LANES_QUAD", False),
         exact_lut=os.environ.get(_PREFIX + "EXACT_LUT") == "1",
         lane_safe=_opt_flag("LANE_SAFE"),
         padded=_flag("PAD", True),
@@ -161,7 +155,6 @@ def current() -> Config:
         pallas_tile=_int("PALLAS_TILE", 128),
         pallas_tile_n=_int("PALLAS_TILE_N", 512),
         pallas_vmem_mb=_int("PALLAS_VMEM_MB", 100),
-        pallas_dot=os.environ.get(_PREFIX + "PALLAS_DOT") == "1",
         zeroing_fused=_opt_flag("ZEROING_FUSED"),
         zeroing_tile_n=_int("ZEROING_TILE_N", 512),
         zeroing_debug=os.environ.get(_PREFIX + "ZEROING_DEBUG") == "1",

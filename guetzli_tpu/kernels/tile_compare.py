@@ -48,7 +48,12 @@ TILE = _config.current().pallas_tile
 
 # Dot-based contraction lowering (smaller MLIR for the AOT Mosaic helper);
 # numerically equivalent within f32 rounding of the unrolled-FMA default.
-USE_DOT = _config.current().pallas_dot
+# Pinned off in round 5 (flag deleted): dot contractions fail Mosaic
+# lowering inside the production kernels (constant capture,
+# tpu_r05_dot_fused_1m.log) and this blocks-leading kernel is itself the
+# opt-in legacy path; the machinery below stays for the interpret-mode
+# tests that cover it.
+USE_DOT = False
 
 # -- compile-time constant tables ----------------------------------------
 _IDCT = consts.IDCT_MATRIX.astype(np.int32)              # [y, u]

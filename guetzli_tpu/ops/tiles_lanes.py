@@ -34,40 +34,18 @@ _IDCT = consts.IDCT_MATRIX.astype(np.int32)
 _BLOCK_EDGE_W = np.float32(consts.BLOCK_EDGE_WEIGHT)
 
 
-def _use_dot():
-    """Whether the 8-point contractions lower to dot_general (MXU) instead
-    of unrolled scalar-constant FMAs.
-
-    The unrolled form rounds identically per lane at every batch size on
-    every backend -- the safe default for the lockstep-corpus == serial
-    byte-identity contract (a CPU GEMM picks different kernels for
-    different free dims). On the TPU MXU the f32 contraction order over
-    the 8-dim is fixed by the systolic array regardless of the free
-    (lane) dimension, so dot_general keeps the identity there while
-    cutting the ~128 stacked vector ops per contraction to one fused op;
-    tools/zeroing_ab.py verifies the batch-size independence on hardware
-    (see its banked JSON before flipping the default)."""
-    from guetzli_tpu import config
-    v = config.current().lanes_dot
-    return False if v is None else v
-
-
 def _mat_axis(mat, x, axis, np_dtype):
     """out[..., i, ...] = sum_j mat[i, j] * x[..., j, ...] contracting
-    `axis` of x: unrolled fixed-order FMAs on [..., N] slices by default
-    (see _use_dot), or one dot_general under GUETZLI_TPU_LANES_DOT=1."""
+    `axis` of x as unrolled fixed-order FMAs on [..., N] slices.
+
+    The unrolled form rounds identically per lane at every batch size on
+    every backend -- required by the lockstep-corpus == serial
+    byte-identity contract. The dot_general (MXU) variant was removed on
+    round-5 evidence: it fails Mosaic lowering inside the production
+    Pallas kernels (constant-capture error) and its XLA-path fallback
+    was slower than the fused default (5.65 vs 4.42 s at 1 MPix,
+    tpu_r05_dot_fused_1m.json)."""
     m = np.asarray(mat, dtype=np_dtype)
-    if np_dtype == np.float32 and _use_dot():
-        ax = axis if axis >= 0 else x.ndim + axis
-        xf = x.astype(jnp.float32)
-        # out[..., i, ...] = m[i, j] x[..., j, ...]: contract `ax` with
-        # m's second axis, then move the result axis (appended last by
-        # dot_general) back into place.
-        out = jax.lax.dot_general(
-            xf, jnp.asarray(m),
-            dimension_numbers=(((ax,), (1,)), ((), ())),
-            precision=_HI)
-        return jnp.moveaxis(out, -1, ax)
     xs = [jax.lax.index_in_dim(x, j, axis, keepdims=False)
           for j in range(8)]
     if np_dtype == np.float32:
@@ -210,43 +188,6 @@ _CSF_MASK.ravel()[4:37] = 1.0
 _CSF_D = np.ascontiguousarray(_CSF64 * _CSF_MASK)
 
 
-def _quad_mat():
-    """64x64 PSD matrix Q with t^T Q t == sum_f csf_d[f] * |DFT2(t)_f|^2
-    exactly (in exact arithmetic): the x/z AC terms of
-    ButteraugliBlockDiff are quadratic in the tile, so the 2 full FFTs +
-    CSF weighting collapse into ONE 64-contraction matmul per channel --
-    real MXU work instead of ~500 stacked vector ops. Built in float64;
-    f32 evaluation differs from the FFT path only in rounding."""
-    u = np.arange(8)
-    wc = np.exp(-2j * np.pi * np.outer(u, u) / 8.0)
-    # F[u*8+v, y*8+x] = W[u, x] * W[v, y]  (see _fft8_sq_lanes layout).
-    f = np.einsum('ux,vy->uvyx', wc, wc).reshape(64, 64)
-    d = _CSF_D.ravel().astype(np.float64)
-    q = (f.conj().T * d) @ f
-    return np.ascontiguousarray(
-        np.real(q) * np.float64(consts.FFT_GLOBAL_MUL)).astype(np.float32)
-
-
-_QUAD_Q = _quad_mat()
-
-
-def _use_quad():
-    """Quadratic-form x/z AC evaluation (GUETZLI_TPU_LANES_QUAD=1).
-    Off by default pending the hardware A/B + bitwise batch-independence
-    check (tools/zeroing_ab.py --quad)."""
-    from guetzli_tpu import config
-    return config.current().lanes_quad
-
-
-def _quad_ac(t):
-    """[8, 8, N] tile -> [N] weighted AC energy via the quadratic form."""
-    tf = t.reshape(64, -1).astype(jnp.float32)
-    qt = jax.lax.dot_general(jnp.asarray(_QUAD_Q), tf,
-                             dimension_numbers=(((1,), (0,)), ((), ())),
-                             precision=_HI)
-    return jnp.sum(tf * qt, axis=0)
-
-
 def _fft8_sq_lanes(x):
     """|2-D DFT|^2 of real [8(y), 8(x), N] -> [8(xf), 8(yf), N] with the
     global scale (ButteraugliFFTSquared, butteraugli.cc:574-597)."""
@@ -314,16 +255,10 @@ def block_diff_lanes(b0, b1, csfd=None):
     def wsum(x):                                   # [8, 8, N] -> [N]
         return jnp.sum(jnp.sum(d * x, axis=0), axis=0)
 
-    if csfd is None and _use_quad():
-        # x/z AC terms as quadratic forms (see _quad_mat): skips 2 of the
-        # 4 FFTs and their CSF reductions.
-        ac_x = _quad_ac(bhd[0]) * np.float32(consts.BLOCKDIFF_AC_XMUL)
-        ac_z = _quad_ac(bhd[2]) * np.float32(consts.BLOCKDIFF_AC_ZMUL)
-    else:
-        ac_x = wsum(_fft8_sq_lanes(bhd[0])) \
-            * np.float32(consts.BLOCKDIFF_AC_XMUL)
-        ac_z = wsum(_fft8_sq_lanes(bhd[2])) \
-            * np.float32(consts.BLOCKDIFF_AC_ZMUL)
+    ac_x = wsum(_fft8_sq_lanes(bhd[0])) \
+        * np.float32(consts.BLOCKDIFF_AC_XMUL)
+    ac_z = wsum(_fft8_sq_lanes(bhd[2])) \
+        * np.float32(consts.BLOCKDIFF_AC_ZMUL)
 
     rng = np.float32(consts.BLOCKDIFF_Y_LIMIT)
     ya = jnp.sqrt(y_avg)

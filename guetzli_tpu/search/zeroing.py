@@ -594,10 +594,21 @@ def compute_zeroing_csr_staged(blocks, orig_blocks, limit, aux, mode,
     scalar_limit = limit_np.ndim == 0
     limit_v = (jnp.float32(limit_np) if scalar_limit
                else jnp.asarray(limit_np[perm]))
+    from guetzli_tpu import config as _config_mod
+    dbg = _config_mod.current().zeroing_debug
+    if dbg:
+        import sys
+        import time as _t
+        jax.block_until_ready(bank_err)
+        _t0 = _t.time()
     rev, nz_d = _csr_counts_device(bank_err, limit_v, lookup,
                                    scalar_limit)
     nz = np.asarray(nz_d)
     num, z = nz[0], nz[1]
+    if dbg:
+        sys.stderr.write("zeroing-csr: counts pull %.2fs\n"
+                         % (_t.time() - _t0))
+        _t0 = _t.time()
     counts = (num - z).astype(np.int64)
     nbr = len(counts)
     offsets = np.zeros(nbr + 1, dtype=np.int64)
@@ -616,8 +627,15 @@ def compute_zeroing_csr_staged(blocks, orig_blocks, limit, aux, mode,
     within = (np.arange(m, dtype=np.int64)
               - np.repeat(offsets[:-1], counts))
     cols[:m] = (np.repeat(z, counts) + within).astype(np.int32)
+    if dbg:
+        sys.stderr.write("zeroing-csr: host build m=%d mp=%d %.2fs\n"
+                         % (m, mp, _t.time() - _t0))
+        _t0 = _t.time()
     packed = np.asarray(_csr_gather_device(
         rev, bank_idx, lookup, jnp.asarray(rows), jnp.asarray(cols)))
+    if dbg:
+        sys.stderr.write("zeroing-csr: gather pull %.2fs\n"
+                         % (_t.time() - _t0))
     return (offsets, packed[0, :m].astype(np.int32),
             np.asarray(packed[1, :m], np.float32))
 

@@ -163,7 +163,12 @@ def test_crash_recovery_replays_dispatch(rgb96x64, monkeypatch):
     def flaky_fetch(self, handle):
         calls["n"] += 1
         if calls["n"] == 3:
-            raise RuntimeError("UNAVAILABLE: TPU worker process crashed")
+            # The real crash class: jax surfaces RPC loss as
+            # JaxRuntimeError with an UNAVAILABLE status (a bare
+            # RuntimeError must NOT trigger recovery -- see
+            # runtime.is_worker_crash and tests/test_worker_crash.py).
+            from jax.errors import JaxRuntimeError
+            raise JaxRuntimeError("UNAVAILABLE: TPU worker crashed")
         return real_fetch(self, handle)
 
     monkeypatch.setattr(comp_mod.Comparator, "fetch_compare", flaky_fetch)

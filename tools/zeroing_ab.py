@@ -7,11 +7,8 @@ Measures, for the lane-major CompareBlock (ops/tiles_lanes.py):
   - full-chain wall at two tile counts (bees-scale and 1 MPix-scale),
   - cumulative sub-chain walls (idct / +rgb / +linear / +opsin / +mhic /
     full) to attribute time within the chain,
-  - under GUETZLI_TPU_LANES_DOT=1: bitwise batch-size independence of
-    the dot_general forms (the gate for enabling them by default on TPU:
-    the lockstep==serial byte-identity contract requires the same tile
-    to produce the same bits at any batch size),
-  - max relative deviation of dot vs unrolled (tolerance context).
+  (The --dot/--quad MXU variants were deleted in round 5 after losing
+  their hardware A/B -- see config.py and tpu_r05_dot_fused_1m.json.)
 
 One configuration per process (the dot flag is read at trace time, so
 an in-process flip would silently reuse stale executables):
@@ -30,19 +27,12 @@ sys.path.insert(0, REPO)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dot", action="store_true")
-    ap.add_argument("--quad", action="store_true",
-                    help="quadratic-form x/z AC (GUETZLI_TPU_LANES_QUAD)")
     ap.add_argument("--pallas", action="store_true",
                     help="also time the fused lane-major Pallas kernel "
                          "(compiled, not interpret) on the same inputs")
     ap.add_argument("--out", default="")
     ap.add_argument("--reps", type=int, default=20)
     args = ap.parse_args()
-    if args.dot:
-        os.environ["GUETZLI_TPU_LANES_DOT"] = "1"
-    if args.quad:
-        os.environ["GUETZLI_TPU_LANES_QUAD"] = "1"
 
     import jax
     import jax.numpy as jnp
@@ -72,8 +62,7 @@ def main():
     xyb0_tiles, scales, ysel, xsel = comp.block_state(1, 1)
     nb = int(xyb0_tiles.shape[0])
 
-    out = {"backend": jax.default_backend(),
-           "dot": bool(args.dot), "quad": bool(args.quad), "nb": nb}
+    out = {"backend": jax.default_backend(), "nb": nb}
 
     def timed(fn, *a):
         """Chained timing (see tpu_r04_zeroing_ab.json correction):
