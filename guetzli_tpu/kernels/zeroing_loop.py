@@ -53,14 +53,21 @@ from guetzli_tpu.ops import tiles_lanes as tl
 K = 192  # 3 * 64 candidate slots per block
 
 
-def _eval_lanes(cand, x0, sc, ymax, xmax, csfd):
+def _eval_lanes(cand, x0, sc, ymax, xmax, csfd, chroma=None):
     """One lane-major block compare: [3, 8, 8, TN] int32 candidates ->
     [1, TN] float32 errors. Same op sequence as tile_compare_lanes._kernel
     (itself the ops/tiles_lanes.py chain), so per-lane numerics match the
-    XLA '444l'/'444pl' paths bit-for-bit."""
-    v = tl.idct_lanes(cand)
-    v = tl.edge_replicate_lanes(v, ymax, xmax)
-    rgb = tl._ycbcr_to_rgb_lanes(v[0], v[1], v[2])
+    XLA '444l'/'444pl' paths bit-for-bit. With `chroma` ([2, 8, 8, TN]
+    frozen bytes) the candidate's Y channel is evaluated against the
+    frozen chroma -- the 420 Y-pass (compare_blocks_lanes420y twin)."""
+    if chroma is not None:
+        yv = tl.idct_lanes(cand[0])
+        yv = tl.edge_replicate_lanes(yv, ymax, xmax)
+        rgb = tl._ycbcr_to_rgb_lanes(yv, chroma[0], chroma[1])
+    else:
+        v = tl.idct_lanes(cand)
+        v = tl.edge_replicate_lanes(v, ymax, xmax)
+        rgb = tl._ycbcr_to_rgb_lanes(v[0], v[1], v[2])
     lin = tl._srgb_to_linear_lanes(rgb)
     xyb1 = tl.opsin_blocks_lanes(lin)
     m0, m1 = tl.mhic_lanes(x0, xyb1)
@@ -80,8 +87,14 @@ def _shift_up(order, rows):
 
 def _greedy_kernel(tb_ref, coeffs_ref, order_ref, nrem_ref, x0_ref,
                    sc_ref, ymax_ref, xmax_ref, lim_ref, csfd_ref,
-                   outidx_ref, outerr_ref, coeffs_s, order_s, nrem_s,
-                   *, lookahead, early_exit):
+                   *rest, lookahead, early_exit, mode):
+    if mode == "420y":
+        (chroma_ref, outidx_ref, outerr_ref,
+         coeffs_s, order_s, nrem_s) = rest
+        chroma = chroma_ref[...]
+    else:
+        outidx_ref, outerr_ref, coeffs_s, order_s, nrem_s = rest
+        chroma = None
     i = pl.program_id(0)
     t_hi = tb_ref[i]
 
@@ -112,7 +125,7 @@ def _greedy_kernel(tb_ref, coeffs_ref, order_ref, nrem_ref, x0_ref,
             idx_l = order[l:l + 1, :]            # [1, TN]
             cand = jnp.where(rows == idx_l, 0, coeffs)
             errs_l = _eval_lanes(cand.reshape(3, 8, 8, tn),
-                                 x0, sc, ymax, xmax, csfd)
+                                 x0, sc, ymax, xmax, csfd, chroma)
             errs_l = jnp.where(nrem > l, errs_l, jnp.inf)
             if l == 0:
                 best_err = errs_l
@@ -141,10 +154,11 @@ def _greedy_kernel(tb_ref, coeffs_ref, order_ref, nrem_ref, x0_ref,
     jax.lax.fori_loop(0, t_hi, body, 0)
 
 
-@partial(jax.jit, static_argnames=("lookahead", "early_exit", "interpret"))
+@partial(jax.jit, static_argnames=("lookahead", "early_exit", "interpret",
+                                   "mode"))
 def zeroing_loop_lanes(coeffs_t, order_t, nrem, x0, sc, ymax2, xmax2,
                        lim2, tile_bounds, lookahead=3, early_exit=False,
-                       interpret=False):
+                       interpret=False, mode="444", chroma_t=None):
     """Run the whole greedy zeroing loop on lane-major state.
 
     Args:
@@ -157,6 +171,8 @@ def zeroing_loop_lanes(coeffs_t, order_t, nrem, x0, sc, ymax2, xmax2,
       lim2: [1, N] f32 per-block error limits (early_exit only);
       tile_bounds: [N // TN] int32 per-tile iteration bounds (max
         candidate count within the tile; blocks sorted descending).
+      mode: "444" or "420y" (the latter takes chroma_t [2, 8, 8, N]
+        frozen chroma bytes and evaluates only the candidate Y channel).
     Returns (out_idx [K, N] int32, out_err [K, N] f32): row t of block b
     holds the t-th zeroed slot and its block error (inf/0 past the
     block's count) -- the transpose of the staged path's banked rails.
@@ -168,23 +184,31 @@ def zeroing_loop_lanes(coeffs_t, order_t, nrem, x0, sc, ymax2, xmax2,
     vmem_mb = _config.current().pallas_vmem_mb
     lane_spec = lambda r: pl.BlockSpec(  # noqa: E731
         (r, tn), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
+    in_specs = [
+        lane_spec(K),                               # coeffs
+        lane_spec(K),                               # order
+        lane_spec(1),                               # nrem
+        pl.BlockSpec((3, 8, 8, tn), lambda i, *_: (0, 0, 0, i),
+                     memory_space=pltpu.VMEM),      # x0
+        pl.BlockSpec((3, tn), lambda i, *_: (0, i),
+                     memory_space=pltpu.VMEM),      # sc
+        lane_spec(1),                               # ymax
+        lane_spec(1),                               # xmax
+        lane_spec(1),                               # lim
+        pl.BlockSpec((8, 8), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),      # csfd
+    ]
+    operands = [tile_bounds, coeffs_t, order_t, nrem, x0, sc, ymax2,
+                xmax2, lim2, jnp.asarray(tl._CSF_D[..., 0])]
+    if mode == "420y":
+        in_specs.append(
+            pl.BlockSpec((2, 8, 8, tn), lambda i, *_: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM))  # frozen chroma
+        operands.append(chroma_t)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            lane_spec(K),                               # coeffs
-            lane_spec(K),                               # order
-            lane_spec(1),                               # nrem
-            pl.BlockSpec((3, 8, 8, tn), lambda i, *_: (0, 0, 0, i),
-                         memory_space=pltpu.VMEM),      # x0
-            pl.BlockSpec((3, tn), lambda i, *_: (0, i),
-                         memory_space=pltpu.VMEM),      # sc
-            lane_spec(1),                               # ymax
-            lane_spec(1),                               # xmax
-            lane_spec(1),                               # lim
-            pl.BlockSpec((8, 8), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),      # csfd
-        ],
+        in_specs=in_specs,
         out_specs=[lane_spec(K), lane_spec(K)],
         scratch_shapes=[
             pltpu.VMEM((K, tn), jnp.int32),             # coeffs
@@ -194,31 +218,31 @@ def zeroing_loop_lanes(coeffs_t, order_t, nrem, x0, sc, ymax2, xmax2,
     )
     out_idx, out_err = pl.pallas_call(
         partial(_greedy_kernel, lookahead=lookahead,
-                early_exit=early_exit),
+                early_exit=early_exit, mode=mode),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((K, n), jnp.int32),
                    jax.ShapeDtypeStruct((K, n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_mb << 20),
         interpret=interpret,
-    )(tile_bounds, coeffs_t, order_t, nrem, x0, sc, ymax2, xmax2, lim2,
-      jnp.asarray(tl._CSF_D[..., 0]))
+    )(*operands)
     return out_idx, out_err
 
 
-_FUSED_OK = None
+_FUSED_OK = {}
 
 
-def fused_available():
-    """One-time probe: compile+run the greedy-loop kernel on one dummy
-    tile so a Mosaic lowering failure degrades to the staged XLA path
-    with a warning instead of crashing mid-encode (same contract as
+def fused_available(mode="444"):
+    """One-time probe per mode: compile+run the greedy-loop kernel on one
+    dummy tile so a Mosaic lowering failure degrades to the staged XLA
+    path with a warning instead of crashing mid-encode (same contract as
     tile_compare_lanes.mosaic_available)."""
-    global _FUSED_OK
-    if _FUSED_OK is None:
+    if mode not in _FUSED_OK:
         try:
             tn = _config.current().zeroing_tile_n
             z32 = jnp.zeros((K, tn), jnp.int32)
+            chroma = (jnp.full((2, 8, 8, tn), 128, jnp.int32)
+                      if mode == "420y" else None)
             out = zeroing_loop_lanes(
                 z32, z32, jnp.ones((1, tn), jnp.int32),
                 jnp.zeros((3, 8, 8, tn), jnp.float32),
@@ -227,14 +251,15 @@ def fused_available():
                 jnp.full((1, tn), 7, jnp.int32),
                 jnp.ones((1, tn), jnp.float32),
                 jnp.ones((1,), jnp.int32),
-                interpret=jax.default_backend() == "cpu")
+                interpret=jax.default_backend() == "cpu",
+                mode=mode, chroma_t=chroma)
             jax.block_until_ready(out)
-            _FUSED_OK = True
+            _FUSED_OK[mode] = True
         except Exception as e:                      # noqa: BLE001
             import sys
             sys.stderr.write(
-                "Fused zeroing-loop kernel unavailable on this backend "
-                "(%s); falling back to the staged zeroing path\n"
-                % str(e).splitlines()[0][:200])
-            _FUSED_OK = False
-    return _FUSED_OK
+                "Fused zeroing-loop kernel (%s) unavailable on this "
+                "backend (%s); falling back to the staged zeroing path\n"
+                % (mode, str(e).splitlines()[0][:200]))
+            _FUSED_OK[mode] = False
+    return _FUSED_OK[mode]

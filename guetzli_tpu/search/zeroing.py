@@ -434,18 +434,26 @@ def _fused_wanted(mode, put, nb):
     f = config.current().zeroing_fused
     if f is False or nb == 0:
         return False
-    if mode not in ("444pl", "444l", "444"):
-        return False          # 420 passes / matrix-aux keep the XLA loop
+    if mode not in ("444pl", "444l", "444", "420yl", "420y"):
+        return False          # 420 chroma pass / matrix-aux keep XLA
     if put is not None and put is not jnp.asarray:
         return False          # mesh-sharded encodes keep the GSPMD path
-    if f is None and mode != "444pl":
-        return False
+    if f is None:
+        # Auto: accelerator only. 444 encodes signal it via the mode
+        # ('444pl' = pallas auto on TPU); the 420 Y pass has no
+        # pallas-switched mode name, so check the backend directly.
+        if mode in ("420yl", "420y"):
+            if jax.default_backend() == "cpu":
+                return False
+        elif mode != "444pl":
+            return False
     from guetzli_tpu.kernels import zeroing_loop
-    return zeroing_loop.fused_available()
+    kmode = "420y" if mode in ("420yl", "420y") else "444"
+    return zeroing_loop.fused_available(kmode)
 
 
 def _fused_core(blocks, orig_blocks, limit, aux, comp_mask, lookahead,
-                new_model, early_exit):
+                new_model, early_exit, kmode="444"):
     """Fused-kernel twin of _staged_core: same host preamble (candidate
     counts, descending-count sort, host scores + initial order), then ONE
     pallas_call runs every block's whole greedy loop with per-tile trip
@@ -517,7 +525,8 @@ def _fused_core(blocks, orig_blocks, limit, aux, comp_mask, lookahead,
     interpret = jax.default_backend() == "cpu"
     bank_idx, bank_err = _fused_program(
         blocks_p, order0, n_cand_p, aux_d, perm_pad, lim_p,
-        tile_bounds.astype(np.int32), lookahead, early_exit, interpret)
+        tile_bounds.astype(np.int32), lookahead, early_exit, interpret,
+        kmode)
     if dbg:
         jax.block_until_ready(bank_err)
         import sys as _sys
@@ -529,24 +538,31 @@ def _fused_core(blocks, orig_blocks, limit, aux, comp_mask, lookahead,
 
 
 @partial(jax.jit, static_argnames=("lookahead", "early_exit",
-                                   "interpret"))
+                                   "interpret", "kmode"))
 def _fused_program(blocks_p, order0, n_cand, aux_d, perm_pad, lim_p,
-                   tile_bounds, lookahead, early_exit, interpret):
+                   tile_bounds, lookahead, early_exit, interpret,
+                   kmode="444"):
     """Device program around the greedy-loop kernel: permute+pad the aux
     by a device gather, transpose the operands to lane-major once, run
     the kernel, transpose the rails back to the [NBp, K] banking
-    layout."""
+    layout. kmode '420y' carries the frozen chroma bytes as aux_d[0]."""
     from guetzli_tpu.kernels import zeroing_loop
     from guetzli_tpu.ops import tiles_lanes as tl
     nbp = blocks_p.shape[0]
     coeffs_t = jnp.transpose(blocks_p.reshape(nbp, K).astype(jnp.int32))
     order_t = jnp.transpose(order0.astype(jnp.int32))
     aux_p = tuple(a[perm_pad] for a in aux_d)
+    chroma_t = None
+    if kmode == "420y":
+        chroma_t = jnp.transpose(aux_p[0].astype(jnp.int32),
+                                 (1, 2, 3, 0))
+        aux_p = aux_p[1:]
     x0, sc, ymax, xmax = tl.transpose_aux_444(*aux_p)
     out_idx_t, out_err_t = zeroing_loop.zeroing_loop_lanes(
         coeffs_t, order_t, n_cand[None, :], x0, sc, ymax[None, :],
         xmax[None, :], lim_p[None, :], tile_bounds,
-        lookahead=lookahead, early_exit=early_exit, interpret=interpret)
+        lookahead=lookahead, early_exit=early_exit, interpret=interpret,
+        mode=kmode, chroma_t=chroma_t)
     return jnp.transpose(out_idx_t), jnp.transpose(out_err_t)
 
 
@@ -577,9 +593,10 @@ def compute_zeroing_csr_staged(blocks, orig_blocks, limit, aux, mode,
     path-independent (tests/test_zeroing_fused.py).
     """
     if _fused_wanted(mode, put, blocks.shape[0]):
+        kmode = "420y" if mode in ("420yl", "420y") else "444"
         bank_idx, bank_err, perm, inv_perm, limit_np = _fused_core(
             blocks, orig_blocks, limit, aux, comp_mask, lookahead,
-            new_model, early_exit)
+            new_model, early_exit, kmode)
     else:
         bank_idx, bank_err, perm, inv_perm, limit_np = _staged_core(
             blocks, orig_blocks, limit, aux, mode, comp_mask, lookahead,

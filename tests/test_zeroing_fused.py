@@ -96,3 +96,49 @@ def test_fused_multi_tile_vector_limit(setup, monkeypatch):
                real_index=real_index)
     for w, g in zip(want, got):
         np.testing.assert_array_equal(w, g)
+
+
+def test_fused_420y_matches_staged(monkeypatch):
+    """The 420 Y-pass fused kernel vs the staged path on a real
+    force-420 image state (harness per test_tiles_lanes)."""
+    import jax.numpy as jnp
+
+    from guetzli_tpu import consts
+    from guetzli_tpu.codec.encoder import encode_rgb_to_jpeg
+    from guetzli_tpu.search import state as st
+
+    with open(FIXTURES / "bees96x64.png", "rb") as f:
+        rgb, w, h = read_png(f.read())
+    target = consts.butteraugli_score_for_quality(95)
+    comp = Comparator(rgb, w, h, target)
+    jpg = encode_rgb_to_jpeg(rgb, w, h)
+    st.remove_original_quantization(jpg)
+    img = st.CoeffImage.from_jpeg(jpg)
+    img.downsample()
+    comp.compare_img(img)
+    comp.start_block_comparisons()
+    chroma_bytes = comp.frozen_chroma_blocks(img)
+    aux = (jnp.asarray(np.asarray(chroma_bytes)),) + comp.block_state(1, 1)
+
+    g = comp.geom
+    yc = img.comps[0].coeffs
+    bw, bh = img.comps[0].bw, img.comps[0].bh
+    if g is not None:
+        yc = g.pad_blocks(yc, bw, bh, g.bwp, g.bhp)
+    nb = yc.shape[0]
+    blocks = np.zeros((nb, 3, 64), np.int32)
+    blocks[:, 0] = np.asarray(yc, np.int32)
+
+    def run(fused):
+        if fused:
+            monkeypatch.setenv("GUETZLI_TPU_ZEROING_FUSED", "1")
+            monkeypatch.setenv("GUETZLI_TPU_ZEROING_TILE_N", "128")
+        else:
+            monkeypatch.setenv("GUETZLI_TPU_ZEROING_FUSED", "0")
+        return zeroing.compute_zeroing_csr_staged(
+            blocks, blocks, np.float32(1.1), aux, "420yl", 1)
+
+    want = run(False)
+    got = run(True)
+    for w_, g_ in zip(want, got):
+        np.testing.assert_array_equal(w_, g_)
