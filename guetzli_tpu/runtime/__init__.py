@@ -95,5 +95,18 @@ def configure(cache_dir=None):
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # Strip caller tracebacks + source paths from lowered modules.
+        # The Mosaic custom-call payload embeds the API call-site frames
+        # verbatim (measured: the payload bytes contained the caller's
+        # file path), so WITHOUT this every entrypoint (cli / bench /
+        # corpus tool / any line-number shift in a caller) produces a
+        # different persistent-cache key for the SAME kernel and repays
+        # its ~33 s Mosaic compile. With locations stripped the lowered
+        # module is byte-identical across call contexts (verified by
+        # md5 of lowered text from two different processes/call sites).
+        # Cost: XLA error messages lose Python source attribution.
+        jax.config.update("jax_traceback_in_locations_limit", 0)
+        jax.config.update("jax_hlo_source_file_canonicalization_regex",
+                          ".*")
     except Exception:
         pass  # cache is an optimization; never fail startup on it

@@ -72,6 +72,9 @@ def main(argv=None) -> int:
             runtime.force_cpu()
             sys.stderr.write("accelerator unreachable; encoding on CPU\n")
 
+    from guetzli_tpu import runtime as _rt
+    _rt.configure()        # persistent compile cache + stable cache keys
+
     paths = []
     for p in args.inputs:
         p = pathlib.Path(p)

@@ -33,6 +33,9 @@ def main():
     import numpy as np
     from PIL import Image
 
+    from guetzli_tpu.runtime import configure
+    configure()
+
     from guetzli_tpu import consts
     from guetzli_tpu.search.processor import (Params, ProcessStats,
                                               process_rgb)
