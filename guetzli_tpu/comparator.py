@@ -662,8 +662,14 @@ class Comparator:
     # so arbitrarily large waves (8 MPix first up-iterations flip
     # millions of coefficients) never fall back to whole-block or
     # full-plane uploads.
-    _SPARSE_COEFF_SIZES = (2048, 16384, 65536)
-    _SPARSE_COEFF_CHUNK = 65536
+    # Top rung sized for multi-MPix flip waves: the 8 MPix up phase
+    # flips ~1-5M coefficients per iteration, which the old 65536 top
+    # rung turned into ~75 sequential chunk dispatches (~0.8 s/iter of
+    # backend_dispatch, tpu_r05_large8d.json); a 1M rung ships the wave
+    # as ONE fused scatter+compare with an 8 MB operand instead. One
+    # extra (cached) compile per geometry.
+    _SPARSE_COEFF_SIZES = (2048, 16384, 65536, 262144, 1048576)
+    _SPARSE_COEFF_CHUNK = 1048576
 
     def dispatch_compare_sparse_coeffs(self, img, blocks_idx, cks, vals,
                                        direction, target_mul,

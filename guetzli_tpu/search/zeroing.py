@@ -424,6 +424,36 @@ def _csr_gather_device(rev, bank_idx, real_index, rows, cols):
                       rev[rows, cols]])
 
 
+@jax.jit
+def _csr_gather_device_split(rev, bank_idx, real_index, rows, cols):
+    """Large-M variant: idx as uint8 (values < 192) and err as f32 in
+    two pulls -- 5 instead of 8 bytes per candidate over the ~13 MB/s
+    device->host direction. The packed single-pull form wins at small M
+    where the extra round trip dominates (a 2-array device_get is ~2
+    RTTs)."""
+    idx_r = bank_idx[real_index]
+    return (idx_r[rows, cols].astype(jnp.uint8), rev[rows, cols])
+
+
+def _argsort_rows_stable(scores):
+    """Row-wise stable argsort of [NB, K] float32, permutation-identical
+    to np.argsort(kind='stable').
+
+    At multi-MPix sizes the single-threaded numpy mergesort is seconds
+    of the fused preamble (host prep 8.5 s at 8 MPix incl. this,
+    tpu_r05_large8d.log); torch's stable sort runs the rows on all host
+    cores with the same by-value stability semantics (equality verified
+    in tests/test_zeroing_fused.py::test_row_argsort_equivalence)."""
+    if scores.shape[0] >= 16384:
+        try:
+            import torch
+            return torch.from_numpy(scores).argsort(
+                dim=1, stable=True).numpy()
+        except ImportError:
+            pass
+    return np.argsort(scores, axis=1, kind="stable")
+
+
 def _fused_wanted(mode, put, nb):
     """Whether the fused greedy-loop Pallas kernel drives this zeroing
     call (kernels/zeroing_loop.py). Auto: exactly where the fused lane
@@ -484,7 +514,7 @@ def _fused_core(blocks, orig_blocks, limit, aux, comp_mask, lookahead,
     scores_h = candidate_scores_host(blocks_perm,
                                      np.asarray(orig_blocks)[perm],
                                      comp_mask, new_model)
-    order0_h = np.argsort(scores_h, axis=1, kind="stable").astype(np.uint8)
+    order0_h = _argsort_rows_stable(scores_h).astype(np.uint8)
     n_cand_p = np.zeros(nbp, np.int32)
     n_cand_p[:nb] = np.isfinite(scores_h).sum(axis=1).astype(np.int32)
     tile_bounds = n_cand_p[::tn].copy()    # desc-sorted: first = tile max
@@ -648,13 +678,21 @@ def compute_zeroing_csr_staged(blocks, orig_blocks, limit, aux, mode,
         sys.stderr.write("zeroing-csr: host build m=%d mp=%d %.2fs\n"
                          % (m, mp, _t.time() - _t0))
         _t0 = _t.time()
-    packed = np.asarray(_csr_gather_device(
-        rev, bank_idx, lookup, jnp.asarray(rows), jnp.asarray(cols)))
+    if mp >= (1 << 20):
+        idx_d, err_d = _csr_gather_device_split(
+            rev, bank_idx, lookup, jnp.asarray(rows), jnp.asarray(cols))
+        idx_np, err_np = jax.device_get((idx_d, err_d))
+        out = (offsets, np.asarray(idx_np[:m]).astype(np.int32),
+               np.asarray(err_np[:m], np.float32))
+    else:
+        packed = np.asarray(_csr_gather_device(
+            rev, bank_idx, lookup, jnp.asarray(rows), jnp.asarray(cols)))
+        out = (offsets, packed[0, :m].astype(np.int32),
+               np.asarray(packed[1, :m], np.float32))
     if dbg:
         sys.stderr.write("zeroing-csr: gather pull %.2fs\n"
                          % (_t.time() - _t0))
-    return (offsets, packed[0, :m].astype(np.int32),
-            np.asarray(packed[1, :m], np.float32))
+    return out
 
 
 @partial(jax.jit, static_argnames=("mode", "comp_mask", "lookahead",

@@ -142,3 +142,19 @@ def test_fused_420y_matches_staged(monkeypatch):
     got = run(True)
     for w_, g_ in zip(want, got):
         np.testing.assert_array_equal(w_, g_)
+
+
+def test_row_argsort_equivalence():
+    """_argsort_rows_stable (torch path at >=16384 rows) must equal
+    numpy's stable row argsort, including +inf ties (masked candidate
+    slots) and duplicated scores."""
+    rng = np.random.default_rng(11)
+    scores = rng.standard_normal((20000, 192)).astype(np.float32)
+    # Mask ~60% of slots to +inf (like invalid candidates) and inject
+    # heavy duplication.
+    mask = rng.random(scores.shape) < 0.6
+    scores[mask] = np.inf
+    scores[~mask] = np.round(scores[~mask], 1)   # many exact ties
+    want = np.argsort(scores, axis=1, kind="stable")
+    got = zeroing._argsort_rows_stable(scores)
+    np.testing.assert_array_equal(want, got)
