@@ -598,6 +598,12 @@ extern "C" {
 // Run the per-iteration flip loop (processor.cc:854-889). Mutates
 // comp_coeffs / last_indexes / ac_histograms / ac_depths in place.
 // Returns est_jpg_size; outputs via pointers.
+//
+// out_flip_{b,idx,val} (capacity order_n each) receive the exact
+// (block, c*64+k, new value) triplet of every flip, in flip order --
+// the device-side sparse-scatter upload consumes these directly, which
+// replaces the caller's numpy reconstruction from last_indexes deltas
+// (~0.3-0.5 s/iteration of backend_dispatch at 8 MPix).
 int64_t gt_backend_flips(
     int32_t* const* comp_coeffs, const int32_t* quant,
     const int16_t* const* jpg_coeffs, const int32_t* jpg_quant,
@@ -610,7 +616,8 @@ int64_t gt_backend_flips(
     int64_t* ac_histograms, uint8_t* ac_depths,
     int64_t* ac_histogram_size, int ncomp, int64_t nb,
     int64_t* out_changed_coeffs, double* out_val_threshold,
-    int64_t* out_changed_blocks) {
+    int64_t* out_changed_blocks,
+    int32_t* out_flip_b, int32_t* out_flip_idx, int32_t* out_flip_val) {
   std::vector<uint8_t> changed(nb, 0);
   int64_t changed_blocks = 0;
   int64_t changed_coeffs = 0;
@@ -639,6 +646,11 @@ int64_t gt_backend_flips(
     block[k] = newval;
     update_ac_histogram(1, block, qc, ac_histograms + c * kHSize);
     last_indexes[b] += direction;
+    if (out_flip_b) {
+      out_flip_b[changed_coeffs] = (int32_t)b;
+      out_flip_idx[changed_coeffs] = idx;
+      out_flip_val[changed_coeffs] = newval;
+    }
     if (!changed[b]) { changed[b] = 1; changed_blocks++; }
     val_threshold = order_vals[i];
     changed_coeffs++;

@@ -926,8 +926,9 @@ class Processor:
                 if flips is not None:
                     (est_jpg_size, changed_coeffs, val_threshold,
                      n_changed_blocks, ac_depths,
-                     ac_histogram_size) = flips
+                     ac_histogram_size, flip_triplets) = flips
                 else:
+                    flip_triplets = None
                     (est_jpg_size, changed_coeffs, val_threshold,
                      n_changed_blocks, ac_depths, ac_histogram_size) = \
                         self._run_flips_python(
@@ -945,30 +946,39 @@ class Processor:
                 self.stats.inc("iters")
                 self.stats.inc("iters_up" if direction > 0
                                else "iters_down")
-                changed = np.nonzero(last_indexes != li_before)[0]
+                if flip_triplets is not None:
+                    # The native loop emitted the exact flip triplets;
+                    # the sorted-unique flipped blocks replace the
+                    # last_indexes diff.
+                    bs, slots, vals = flip_triplets
+                    bs = bs.astype(np.int64)
+                    changed = np.unique(bs)
+                else:
+                    changed = np.nonzero(last_indexes != li_before)[0]
                 # Overlap the device round trip with host serialization.
                 if use_sparse:
-                    # Exact flipped-coefficient triplets (the flip loop
-                    # advanced last_indexes through these CSR positions;
-                    # values re-read from the post-flip host state):
-                    # ~8 B per flipped coefficient on the wire instead of
-                    # 772 B per changed block.
-                    lo = np.minimum(li_before, last_indexes)[changed]
-                    cnt = (np.maximum(li_before, last_indexes)[changed]
-                           - lo)
-                    tot = int(cnt.sum())
-                    bs = np.repeat(changed, cnt)
-                    within = (np.arange(tot, dtype=np.int64)
-                              - np.repeat(np.cumsum(cnt) - cnt, cnt))
-                    slots = cand_idx[
-                        np.repeat(clamped_off[changed] + lo, cnt)
-                        + within]
-                    vals = np.empty(tot, np.int32)
-                    for _ch in range(3):
-                        _m = (slots >> 6) == _ch
-                        if _m.any():
-                            vals[_m] = img.comps[_ch].coeffs[
-                                bs[_m], slots[_m] & 63]
+                    if flip_triplets is None:
+                        # Fallback (python flip loop): reconstruct the
+                        # flipped-coefficient triplets from the
+                        # last_indexes deltas, values re-read from the
+                        # post-flip host state. ~8 B per flipped
+                        # coefficient on the wire either way.
+                        lo = np.minimum(li_before, last_indexes)[changed]
+                        cnt = (np.maximum(li_before,
+                                          last_indexes)[changed] - lo)
+                        tot = int(cnt.sum())
+                        bs = np.repeat(changed, cnt)
+                        within = (np.arange(tot, dtype=np.int64)
+                                  - np.repeat(np.cumsum(cnt) - cnt, cnt))
+                        slots = cand_idx[
+                            np.repeat(clamped_off[changed] + lo, cnt)
+                            + within]
+                        vals = np.empty(tot, np.int32)
+                        for _ch in range(3):
+                            _m = (slots >> 6) == _ch
+                            if _m.any():
+                                vals[_m] = img.comps[_ch].coeffs[
+                                    bs[_m], slots[_m] & 63]
 
                     def dispatch():
                         # (chunked: handles arbitrarily large flip waves)
@@ -1084,6 +1094,11 @@ class Processor:
         out_coeffs = ctypes.c_int64(0)
         out_thresh = ctypes.c_double(0.0)
         out_blocks = ctypes.c_int64(0)
+        # Exact flip triplets, emitted by the loop itself (capacity =
+        # the order length, an upper bound on flips this iteration).
+        flip_b = np.empty(len(order_blocks), dtype=np.int32)
+        flip_idx = np.empty(len(order_blocks), dtype=np.int32)
+        flip_val = np.empty(len(order_blocks), dtype=np.int32)
         offsets64 = np.ascontiguousarray(offsets, dtype=np.int64)
         li = np.ascontiguousarray(last_indexes, dtype=np.int64)
         ob = np.ascontiguousarray(order_blocks, dtype=np.int32)
@@ -1114,12 +1129,17 @@ class Processor:
             ctypes.byref(hist_size), ctypes.c_int(ncomp),
             ctypes.c_int64(nb),
             ctypes.byref(out_coeffs), ctypes.byref(out_thresh),
-            ctypes.byref(out_blocks))
+            ctypes.byref(out_blocks),
+            flip_b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            flip_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            flip_val.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
         last_indexes[:] = li
         for c in range(ncomp):
             ac_histograms[c][:] = histo[c]
-        return (int(est), int(out_coeffs.value), float(out_thresh.value),
-                int(out_blocks.value), depths, int(hist_size.value))
+        m = int(out_coeffs.value)
+        return (int(est), m, float(out_thresh.value),
+                int(out_blocks.value), depths, int(hist_size.value),
+                (flip_b[:m], flip_idx[:m], flip_val[:m]))
 
     def _run_flips_python(self, img, jpg, bw, offsets, cand_idx, cand_err,
                           last_indexes, order_blocks, order_vals,
