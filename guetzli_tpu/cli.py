@@ -52,8 +52,6 @@ K_DEFAULT_QUALITY = 95
 
 
 def main(argv=None) -> int:
-    from guetzli_tpu.runtime import configure
-    configure()
     argv = list(sys.argv[1:] if argv is None else argv)
     verbose = False
     fast_zeroing = False
@@ -106,6 +104,11 @@ def main(argv=None) -> int:
     if len(argv) - opt_idx != 2:
         sys.stderr.write(_USAGE)
         return 1
+
+    # After flag parsing so --cpu's platform pin is visible (the
+    # persistent compile cache is accelerator-only; see runtime.configure).
+    from guetzli_tpu.runtime import configure
+    configure()
 
     in_name, out_name = argv[opt_idx], argv[opt_idx + 1]
     if in_name == "-":

@@ -91,10 +91,16 @@ def configure(cache_dir=None):
             pass
     cache_dir = cache_dir or os.path.expanduser("~/.cache/guetzli_tpu_xla")
     try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # Persistent cache only off-CPU: CPU compiles are cheap, and
+        # XLA:CPU AOT reload warns about pseudo-feature mismatches
+        # (+prefer-no-scatter etc.) with a stated SIGILL risk.
+        if os.environ.get("JAX_PLATFORMS") != "cpu":
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
+            jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", 0)
         # Strip caller tracebacks + source paths from lowered modules.
         # The Mosaic custom-call payload embeds the API call-site frames
         # verbatim (measured: the payload bytes contained the caller's

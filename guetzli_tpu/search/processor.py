@@ -465,6 +465,10 @@ class Processor:
         from guetzli_tpu import config
         cfg = config.current()
         pallas = cfg.pallas
+        _dbg = cfg.zeroing_debug
+        if _dbg:
+            import time as _t
+            _t0 = _t.time()
         if pallas is None:
             # Auto: the fused lane-major kernel wins ~20-25% per zeroing
             # wave at production scale on TPU (chained-timing A/B, r04);
@@ -475,9 +479,20 @@ class Processor:
             pallas = (2 if jax.default_backend() != "cpu"
                       and self.comparator.mesh is None else 0)
         self.comparator.start_block_comparisons()
+        if _dbg:
+            import jax as _jax
+            _jax.block_until_ready(self.comparator._mask_xyz)
+            sys.stderr.write("zeroing-aux: whole-image mask %.2fs\n"
+                             % (_t.time() - _t0))
+            _t0 = _t.time()
         if img.is_444():
             xyb0_tiles, scales, ysel, xsel = \
                 self.comparator.block_state(1, 1)
+            if _dbg:
+                import jax as _jax
+                _jax.block_until_ready(xyb0_tiles)
+                sys.stderr.write("zeroing-aux: block state %.2fs\n"
+                                 % (_t.time() - _t0))
             if pallas == 1:
                 from guetzli_tpu.kernels import tile_compare as tc
                 sy, sx = tc._selection_matrices(np.asarray(ysel),
