@@ -1,0 +1,19 @@
+#!/bin/bash
+# Round-5 TPU window 9: seed the compile cache with the FINAL code
+# (bench shapes + 8 MPix) and capture the final builder numbers.
+set -u
+cd "$(dirname "$0")/.."
+run() {
+  local name=$1 tmo=$2; shift 2
+  local envs=()
+  while [ "$1" != "--" ]; do envs+=("$1"); shift; done
+  shift
+  echo "=== $name: env ${envs[*]:-none}: $*" >&2
+  timeout "$tmo" env "${envs[@]}" "$@" > "tpu_r05_${name}.json" 2> "tpu_r05_${name}.log"
+  echo "=== $name rc=$? ($(tail -c 250 "tpu_r05_${name}.json" 2>/dev/null))" >&2
+}
+run bench_seed 4000 -- python bench.py
+run large8g 3600 GUETZLI_TPU_ZEROING_DEBUG=1 -- python tools/large_encode.py --mpix 8
+run large8h 3600 GUETZLI_TPU_ZEROING_DEBUG=1 -- python tools/large_encode.py --mpix 8
+run bench_final4 4000 -- python bench.py
+echo "r05 window9 done" >&2
