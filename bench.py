@@ -30,26 +30,37 @@ REF_1MPIX_SIZE = 176780
 REF_1MPIX_MPIX_S = (1332 * 774 / 1e6) / REF_1MPIX_S
 
 
-def _probe_backend(timeout_s=180):
+def _probe_backend(timeout_s=180, retries=1, retry_sleep_s=30):
     """Check device availability in a subprocess: a wedged TPU tunnel
     hangs jax.devices() forever in-process, which a timeout can't
-    interrupt. Returns True if the default backend initializes."""
+    interrupt. Returns True if the default backend initializes.
+
+    One retry after a short sleep by default: the tunnel answers
+    unreachable for a few seconds right after a heavy client process
+    exits (observed after the 2 h golden sweep), which is transient --
+    falling back to CPU for a whole bench run over it wastes the
+    window."""
     import subprocess
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; d = jax.devices(); print(d[0].platform); "
-             "import jax.numpy as jnp; "
-             "assert float(jnp.ones((64, 64)).sum()) == 4096.0"],
-            timeout=timeout_s, capture_output=True)
-        if r.returncode != 0:
-            return False
-        # jax silently falls back to CPU when an accelerator plugin fails
-        # to initialize, so returncode alone is a false positive: require
-        # a non-cpu platform to actually answer a computation.
-        return r.stdout.decode().strip() != "cpu"
-    except subprocess.TimeoutExpired:
-        return False
+    import time as _t
+    for attempt in range(retries + 1):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); print(d[0].platform); "
+                 "import jax.numpy as jnp; "
+                 "assert float(jnp.ones((64, 64)).sum()) == 4096.0"],
+                timeout=timeout_s, capture_output=True)
+            # jax silently falls back to CPU when an accelerator plugin
+            # fails to initialize, so returncode alone is a false
+            # positive: require a non-cpu platform to actually answer a
+            # computation.
+            if r.returncode == 0 and r.stdout.decode().strip() != "cpu":
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt < retries:
+            _t.sleep(retry_sleep_s)
+    return False
 
 
 def _reexec_without_accel_plugin():
@@ -193,8 +204,11 @@ def _banked_tpu_result():
     best = None
     for path in glob.glob(os.path.join(here, "tpu_r*bench*.json")) + \
             glob.glob(os.path.join(here, "tpu_capture_bench.json")):
-        with open(path) as f:
-            data = json.load(f)
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except ValueError:
+            continue        # empty/partial capture from an aborted run
         j = data.get("json", data)
         if not isinstance(j, dict) or j.get("backend") == "cpu":
             continue
