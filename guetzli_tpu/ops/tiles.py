@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from guetzli_tpu import consts
 from guetzli_tpu.ops import blockdiff as bd
 from guetzli_tpu.ops import image as img_ops
@@ -237,17 +239,29 @@ def original_opsin_tiles(rgb, w, h, bw, bh):
     butteraugli_comparator.cc:85-111): pixels sampled with coordinates
     clamped to the image, then an 8x8-confined opsin transform.
 
+    The uint8 image ships to the device and the sRGB->linear table
+    lookup, clamped sampling, and tiling all run there (bit-identical to
+    the host form: same table, same gather) -- the host path uploaded
+    the expanded [NB, 3, 8, 8] float tiles instead, 16x the bytes over
+    the ~50 MB/s link (~2 s of the 8 MPix zeroing_aux wall).
+
     Args:
       rgb: uint8 [h, w, 3].
     Returns:
       [bh*bw, 3, 64] float32 opsin tiles, stored flat (numpy in, jax out).
     """
     lut = consts.SRGB_TO_LINEAR.astype(np.float32)
-    xs = np.minimum(np.arange(bw * 8), w - 1)
-    ys = np.minimum(np.arange(bh * 8), h - 1)
-    lin = lut[np.asarray(rgb, dtype=np.uint8)][ys][:, xs]   # [8bh, 8bw, 3]
+    xs = np.minimum(np.arange(bw * 8), w - 1).astype(np.int32)
+    ys = np.minimum(np.arange(bh * 8), h - 1).astype(np.int32)
+    return _original_opsin_tiles_dev(
+        np.ascontiguousarray(rgb, dtype=np.uint8), jnp.asarray(lut),
+        ys, xs, bw=bw, bh=bh)
+
+
+@partial(jax.jit, static_argnames=("bw", "bh"))
+def _original_opsin_tiles_dev(rgb_u8, lut, ys, xs, bw, bh):
+    lin = lut[rgb_u8[ys][:, xs]]                        # [8bh, 8bw, 3]
     tiles = (lin.reshape(bh, 8, bw, 8, 3)
              .transpose(0, 2, 4, 1, 3)
              .reshape(bh * bw, 3, 8, 8))
-    out = opsin_dynamics_blocks(jnp.asarray(tiles))
-    return out.reshape(bh * bw, 3, 64)
+    return opsin_dynamics_blocks(tiles).reshape(bh * bw, 3, 64)
