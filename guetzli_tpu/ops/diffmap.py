@@ -145,15 +145,20 @@ def block_diff_map(xyb0, xyb1, step=3):
     px = np.minimum(rx, w - 8)
     py = np.minimum(ry, h - 8)
 
-    yy = (py[:, None, None, None]
-          + np.arange(8, dtype=np.int32)[None, None, :, None])
-    xx = (px[None, :, None, None]
-          + np.arange(8, dtype=np.int32)[None, None, None, :])
-    yy, xx = np.broadcast_arrays(yy, xx)
+    ny, nx = len(py), len(px)
+    yy0 = (py[:, None] + np.arange(8, dtype=np.int32)[None, :]).ravel()
+    xx0 = (px[:, None] + np.arange(8, dtype=np.int32)[None, :]).ravel()
 
     def windows(img):
-        # [3, H, W] -> [ny, nx, 3, 8, 8]
-        return jnp.moveaxis(img[:, yy, xx], 0, 2)
+        # [3, H, W] -> [ny, nx, 3, 8, 8]. Two 1-D row/column gathers
+        # instead of one 2-D [ny, nx, 8, 8] index grid: identical values
+        # (pure reindexing), but the combined gather was 77% of the
+        # whole-image compare at 8 MPix (tpu_r05_cmpprof_8m.json) while
+        # axis-wise takes lower to cheap slices.
+        rows = img[:, yy0, :]                      # [3, ny*8, W]
+        wins = rows[:, :, xx0]                     # [3, ny*8, nx*8]
+        wins = wins.reshape(3, ny, 8, nx, 8)
+        return jnp.transpose(wins, (1, 3, 0, 2, 4))
 
     w0 = windows(xyb0).reshape(len(py), len(px), 3, 64)
     w1 = windows(xyb1).reshape(len(py), len(px), 3, 64)
@@ -383,14 +388,26 @@ def _sel_matrix(targets, size):
 
 def _select_yx(img, ty, tx):
     """img [C, H, W] -> [C, len(ty), len(tx)] picking rows ty and columns
-    tx, as two one-hot MXU contractions instead of a pointwise gather
-    (TPU gathers run on the scalar core). Exact: every output element is
-    a single 1.0 * value product summed over zeros at HIGHEST."""
-    hi = jax.lax.Precision.HIGHEST
-    sy = _sel_matrix(ty, img.shape[-2])
-    sx = _sel_matrix(tx, img.shape[-1])
-    rows = jnp.einsum('rh,chw->crw', sy, img, precision=hi)
-    return jnp.einsum('crw,xw->crx', rows, sx, precision=hi)
+    tx. Exact either way (each output element is a copy of one input
+    element); two formulations:
+
+      * axis-wise `take`s (default): whole-row/column slice gathers,
+        which XLA lowers to vectorized dynamic slices -- the one-hot
+        form below was ~2.9 TFLOP of dense f32 matmul per compare at
+        the 8 MPix bucket and dominated block_diff_map
+        (tpu_r05_cmpprof_8m.json: 286 of 371 ms);
+      * one-hot MXU contractions (GUETZLI_TPU_SEL_MATMUL=1), kept for
+        A/B and for backends where pointwise-adjacent gathers
+        serialize."""
+    import os
+    if os.environ.get("GUETZLI_TPU_SEL_MATMUL") == "1":
+        hi = jax.lax.Precision.HIGHEST
+        sy = _sel_matrix(ty, img.shape[-2])
+        sx = _sel_matrix(tx, img.shape[-1])
+        rows = jnp.einsum('rh,chw->crw', sy, img, precision=hi)
+        return jnp.einsum('crw,xw->crx', rows, sx, precision=hi)
+    rows = jnp.take(img, ty, axis=-2)
+    return jnp.take(rows, tx, axis=-1)
 
 
 def mask_high_intensity_change_dyn(xyb0, xyb1, w, h):
