@@ -553,7 +553,15 @@ def block_diff_map_dyn(xyb0, xyb1, w, h, step=3):
         both = _select_yx(jnp.concatenate([xyb0, xyb1], axis=0), ty, tx)
         both = both.reshape(6, 8, ny, 8, nx).transpose(0, 1, 3, 2, 4)
         both = both.reshape(6, 8, 8, ny * nx)            # [6, y, x, N]
-        dc, ac, _edge = tl.block_diff_lanes(both[0:3], both[3:6])
+        # dot_general contractions on accelerators: the unrolled-FMA
+        # form is ~64 HBM passes per 8-point contraction at ~900k lanes
+        # (block_diff_map was 260 of the 337 ms 8 MPix compare even
+        # after the selection fix); MXU per-element accumulation order
+        # is free-dim invariant, same reasoning as fft8x8_squared's
+        # backend split. CPU keeps the unrolled form (byte contracts).
+        dot = jax.default_backend() != "cpu"
+        dc, ac, _edge = tl.block_diff_lanes(both[0:3], both[3:6],
+                                            dot=dot)
         dc = dc.reshape(3, ny, nx)
         ac = ac.reshape(3, ny, nx)
     else:

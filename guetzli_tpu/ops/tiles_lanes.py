@@ -34,18 +34,28 @@ _IDCT = consts.IDCT_MATRIX.astype(np.int32)
 _BLOCK_EDGE_W = np.float32(consts.BLOCK_EDGE_WEIGHT)
 
 
-def _mat_axis(mat, x, axis, np_dtype):
+def _mat_axis(mat, x, axis, np_dtype, dot=False):
     """out[..., i, ...] = sum_j mat[i, j] * x[..., j, ...] contracting
     `axis` of x as unrolled fixed-order FMAs on [..., N] slices.
 
     The unrolled form rounds identically per lane at every batch size on
     every backend -- required by the lockstep-corpus == serial
-    byte-identity contract. The dot_general (MXU) variant was removed on
-    round-5 evidence: it fails Mosaic lowering inside the production
-    Pallas kernels (constant-capture error) and its XLA-path fallback
-    was slower than the fused default (5.65 vs 4.42 s at 1 MPix,
-    tpu_r05_dot_fused_1m.json)."""
+    byte-identity contract -- and it is the only form Mosaic lowers
+    inside the production Pallas kernels (the dot form fails with a
+    constant-capture error, tpu_r05_dot_fused_1m.json). `dot=True`
+    switches to ONE dot_general: used by the WHOLE-IMAGE block diff on
+    accelerators (ops/diffmap.block_diff_map_dyn), where the unrolled
+    form costs ~64 HBM passes per contraction at ~900k lanes and the
+    MXU accumulation order per output element is batch-invariant (same
+    backend-conditional reasoning as blockdiff.fft8x8_squared)."""
     m = np.asarray(mat, dtype=np_dtype)
+    if dot and np_dtype == np.float32:
+        ax = axis if axis >= 0 else x.ndim + axis
+        out = jax.lax.dot_general(
+            x.astype(jnp.float32), jnp.asarray(m),
+            dimension_numbers=(((ax,), (1,)), ((), ())),
+            precision=_HI)
+        return jnp.moveaxis(out, -1, ax)
     xs = [jax.lax.index_in_dim(x, j, axis, keepdims=False)
           for j in range(8)]
     if np_dtype == np.float32:
@@ -65,14 +75,14 @@ def _np_dtype(x, dtype):
     return np.int32 if x.dtype == jnp.int32 else np.float32
 
 
-def _mat_y(mat, x, dtype=None):
+def _mat_y(mat, x, dtype=None, dot=False):
     """Contract the -3rd (y-like) axis of [..., 8, 8, N]."""
-    return _mat_axis(mat, x, -3, _np_dtype(x, dtype))
+    return _mat_axis(mat, x, -3, _np_dtype(x, dtype), dot)
 
 
-def _mat_x(mat, x, dtype=None):
+def _mat_x(mat, x, dtype=None, dot=False):
     """Contract the -2nd (x-like) axis of [..., 8, 8, N]."""
-    return _mat_axis(mat, x, -2, _np_dtype(x, dtype))
+    return _mat_axis(mat, x, -2, _np_dtype(x, dtype), dot)
 
 
 def idct_lanes(c):
@@ -188,16 +198,16 @@ _CSF_MASK.ravel()[4:37] = 1.0
 _CSF_D = np.ascontiguousarray(_CSF64 * _CSF_MASK)
 
 
-def _fft8_sq_lanes(x):
+def _fft8_sq_lanes(x, dot=False):
     """|2-D DFT|^2 of real [8(y), 8(x), N] -> [8(xf), 8(yf), N] with the
     global scale (ButteraugliFFTSquared, butteraugli.cc:574-597)."""
     a = jnp.swapaxes(x, 0, 1)                      # [x, y, N]
-    t1r = _mat_y(bd.DFT8_RE, a, jnp.float32)       # over x
-    t1i = _mat_y(bd.DFT8_IM, a, jnp.float32)
-    gr = _mat_x(bd.DFT8_RE, t1r, jnp.float32) \
-        - _mat_x(bd.DFT8_IM, t1i, jnp.float32)
-    gi = _mat_x(bd.DFT8_IM, t1r, jnp.float32) \
-        + _mat_x(bd.DFT8_RE, t1i, jnp.float32)
+    t1r = _mat_y(bd.DFT8_RE, a, jnp.float32, dot)  # over x
+    t1i = _mat_y(bd.DFT8_IM, a, jnp.float32, dot)
+    gr = _mat_x(bd.DFT8_RE, t1r, jnp.float32, dot) \
+        - _mat_x(bd.DFT8_IM, t1i, jnp.float32, dot)
+    gi = _mat_x(bd.DFT8_IM, t1r, jnp.float32, dot) \
+        + _mat_x(bd.DFT8_RE, t1i, jnp.float32, dot)
     return (gr * gr + gi * gi) * np.float32(consts.FFT_GLOBAL_MUL)
 
 
@@ -220,7 +230,7 @@ def _mean8_axis1(x):
     return _sum_small_axis(x, 1, 8) * np.float32(0.125)
 
 
-def block_diff_lanes(b0, b1, csfd=None):
+def block_diff_lanes(b0, b1, csfd=None, dot=False):
     """ButteraugliBlockDiff (butteraugli.cc:602-684) on [3, 8, 8, N]
     tiles-last pairs -> (diff_dc, diff_ac, diff_edge), each [3, N].
 
@@ -247,17 +257,17 @@ def block_diff_lanes(b0, b1, csfd=None):
 
     bavg = (b0 + b1) * 0.5
     bhd = (b0 - b1) * 0.5
-    y_avg = _fft8_sq_lanes(bavg[1])
-    y_hd = _fft8_sq_lanes(bhd[1])
+    y_avg = _fft8_sq_lanes(bavg[1], dot)
+    y_hd = _fft8_sq_lanes(bhd[1], dot)
 
     d = jnp.asarray(_CSF_D) if csfd is None else csfd
 
     def wsum(x):                                   # [8, 8, N] -> [N]
         return jnp.sum(jnp.sum(d * x, axis=0), axis=0)
 
-    ac_x = wsum(_fft8_sq_lanes(bhd[0])) \
+    ac_x = wsum(_fft8_sq_lanes(bhd[0], dot)) \
         * np.float32(consts.BLOCKDIFF_AC_XMUL)
-    ac_z = wsum(_fft8_sq_lanes(bhd[2])) \
+    ac_z = wsum(_fft8_sq_lanes(bhd[2], dot)) \
         * np.float32(consts.BLOCKDIFF_AC_ZMUL)
 
     rng = np.float32(consts.BLOCKDIFF_Y_LIMIT)
