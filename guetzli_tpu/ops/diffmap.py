@@ -553,15 +553,18 @@ def block_diff_map_dyn(xyb0, xyb1, w, h, step=3):
         both = _select_yx(jnp.concatenate([xyb0, xyb1], axis=0), ty, tx)
         both = both.reshape(6, 8, ny, 8, nx).transpose(0, 1, 3, 2, 4)
         both = both.reshape(6, 8, 8, ny * nx)            # [6, y, x, N]
-        # dot_general contractions on accelerators: the unrolled-FMA
-        # form is ~64 HBM passes per 8-point contraction at ~900k lanes
-        # (block_diff_map was 260 of the 337 ms 8 MPix compare even
-        # after the selection fix); MXU per-element accumulation order
-        # is free-dim invariant, same reasoning as fft8x8_squared's
-        # backend split. CPU keeps the unrolled form (byte contracts).
-        dot = jax.default_backend() != "cpu"
+        # dot=False DELIBERATELY: the dot_general (MXU) contraction form
+        # measured 2.4x on the whole 8 MPix compare (371 -> 152 ms,
+        # tpu_r05_cmpprof_dot_8m.json) and is numerically correct to
+        # 4.4e-7 rel -- but that rounding drift flipped a knife-edge
+        # quant-search decision on one pinned golden row
+        # (photo_mosaic1-420.jpg +30% size, tpu_r05_goldens_dot.json
+        # 98/99). Any non-bit-exact change can flip such a row; the
+        # golden contract therefore pins the unrolled fixed-order form
+        # here. The banked profile marks the upside if a future round
+        # re-pins the goldens.
         dc, ac, _edge = tl.block_diff_lanes(both[0:3], both[3:6],
-                                            dot=dot)
+                                            dot=False)
         dc = dc.reshape(3, ny, nx)
         ac = ac.reshape(3, ny, nx)
     else:
