@@ -49,7 +49,8 @@ STAGE_CODE = r"""
 import sys
 sys.path.insert(0, %(repo)r)
 import os
-os.environ.setdefault("GUETZLI_TPU_PALLAS_DOT", %(dot)r)
+# (GUETZLI_TPU_PALLAS_DOT was deleted in r05; the dot forms are pinned
+# off in kernels/tile_compare.py and this knob is a no-op.)
 INTERPRET = os.environ.get("_GT_BISECT_INTERPRET") == "1"
 if INTERPRET:
     os.environ["JAX_PLATFORMS"] = "cpu"

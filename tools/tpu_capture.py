@@ -7,7 +7,7 @@ independently fault-isolated:
 
   1. bench.py (headline MPix/s + MFU fields)  -> stdout JSON + tpu_bench.json
   2. 1 MPix phase split (quant/zeroing/backend + per-phase wall)
-  3. Pallas tile-compare Mosaic AOT compile retry (GUETZLI_TPU_PALLAS_DOT=1)
+  3. Pallas tile-compare Mosaic AOT compile retry (legacy blocks-leading kernel; the PALLAS_DOT knob was deleted in r05 and is ignored)
   4. Lockstep corpus throughput (img/min, vs serial)
 
 Usage: python tools/tpu_capture.py [--skip-corpus] [--out PREFIX]
