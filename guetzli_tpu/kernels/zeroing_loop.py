@@ -53,6 +53,20 @@ from guetzli_tpu.ops import tiles_lanes as tl
 K = 192  # 3 * 64 candidate slots per block
 
 
+def _finish_lanes_k(rgb, x0, sc, csfd):
+    """Shared compare tail (sRGB bytes -> weighted error [1, TN]); the
+    in-kernel twin of tiles_lanes._finish_lanes with the CSF table as an
+    operand."""
+    lin = tl._srgb_to_linear_lanes(rgb)
+    xyb1 = tl.opsin_blocks_lanes(lin)
+    m0, m1 = tl.mhic_lanes(x0, xyb1)
+    dc, ac, edge = tl.block_diff_lanes(m0, m1, csfd)
+    diff = jnp.sum((dc + ac) * sc, axis=0, keepdims=True)
+    diff_edge = jnp.sum(edge * sc, axis=0, keepdims=True)
+    w = np.float32(tl._BLOCK_EDGE_W)
+    return jnp.sqrt((1.0 - w) * diff + w * diff_edge)
+
+
 def _eval_lanes(cand, x0, sc, ymax, xmax, csfd, chroma=None):
     """One lane-major block compare: [3, 8, 8, TN] int32 candidates ->
     [1, TN] float32 errors. Same op sequence as tile_compare_lanes._kernel
@@ -68,14 +82,51 @@ def _eval_lanes(cand, x0, sc, ymax, xmax, csfd, chroma=None):
         v = tl.idct_lanes(cand)
         v = tl.edge_replicate_lanes(v, ymax, xmax)
         rgb = tl._ycbcr_to_rgb_lanes(v[0], v[1], v[2])
-    lin = tl._srgb_to_linear_lanes(rgb)
-    xyb1 = tl.opsin_blocks_lanes(lin)
-    m0, m1 = tl.mhic_lanes(x0, xyb1)
-    dc, ac, edge = tl.block_diff_lanes(m0, m1, csfd)
-    diff = jnp.sum((dc + ac) * sc, axis=0, keepdims=True)
-    diff_edge = jnp.sum(edge * sc, axis=0, keepdims=True)
-    w = np.float32(tl._BLOCK_EDGE_W)
-    return jnp.sqrt((1.0 - w) * diff + w * diff_edge)
+    return _finish_lanes_k(rgb, x0, sc, csfd)
+
+
+def _dith16():
+    """ToPixels dither 8 - (x & 1) over the 16-wide axis, built from an
+    in-kernel iota (pallas kernels may not capture array constants)."""
+    x = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 1), 1)
+    return 8 - (x & 1)
+
+
+def _eval_lanes_420c(cand, nu, nv, y16, x0c, scc, ymaxc, xmaxc,
+                     validc, csfd):
+    """420 chroma-pass macroblock compare (compare_blocks_lanes420c
+    twin), sub-blocks as LEADING dims instead of folded into lanes (a
+    lane-axis reshape merging leading dims is the one layout Mosaic is
+    likely to reject).
+
+    cand: [3, 8, 8, TN] (channels 1/2 hold the chroma candidates);
+    nu/nv: [10, 10, TN] frozen x16 subsampled planes; y16: [16, 16, TN]
+    frozen Y bytes; x0c: [2, 2, 3, 8, 8, TN]; scc: [2, 2, 3, TN];
+    ymaxc/xmaxc/validc: [2, 2, TN]. Returns [1, TN] max sub-block error.
+    """
+    def chroma16(c8, neigh):
+        v = tl.idct_lanes(c8)
+        filled = neigh.at[1:9, 1:9, :].set(v << 4)
+        return tl.upsample_16x16_lanes(filled)
+
+    u16 = chroma16(cand[1], nu)
+    v16 = chroma16(cand[2], nv)
+    dith = _dith16()
+    ub = (u16 + dith) >> 4
+    vb = (v16 + dith) >> 4
+
+    best = None
+    for sy in range(2):
+        for sx in range(2):
+            ysl = slice(sy * 8, sy * 8 + 8)
+            xsl = slice(sx * 8, sx * 8 + 8)
+            rep = lambda p: tl.edge_replicate_lanes(   # noqa: E731
+                p[ysl, xsl, :], ymaxc[sy, sx], xmaxc[sy, sx])
+            rgb = tl._ycbcr_to_rgb_lanes(rep(y16), rep(ub), rep(vb))
+            err = _finish_lanes_k(rgb, x0c[sy, sx], scc[sy, sx], csfd)
+            err = jnp.where(validc[sy:sy + 1, sx] > 0, err, 0.0)
+            best = err if best is None else jnp.maximum(best, err)
+    return best
 
 
 def _shift_up(order, rows):
@@ -88,13 +139,20 @@ def _shift_up(order, rows):
 def _greedy_kernel(tb_ref, coeffs_ref, order_ref, nrem_ref, x0_ref,
                    sc_ref, ymax_ref, xmax_ref, lim_ref, csfd_ref,
                    *rest, lookahead, early_exit, mode):
+    chroma = aux420c = None
     if mode == "420y":
         (chroma_ref, outidx_ref, outerr_ref,
          coeffs_s, order_s, nrem_s) = rest
         chroma = chroma_ref[...]
+    elif mode == "420c":
+        (nu_ref, nv_ref, y16_ref, x0c_ref, scc_ref, ymaxc_ref,
+         xmaxc_ref, validc_ref, outidx_ref, outerr_ref,
+         coeffs_s, order_s, nrem_s) = rest
+        aux420c = (nu_ref[...], nv_ref[...], y16_ref[...], x0c_ref[...],
+                   scc_ref[...], ymaxc_ref[...], xmaxc_ref[...],
+                   validc_ref[...])
     else:
         outidx_ref, outerr_ref, coeffs_s, order_s, nrem_s = rest
-        chroma = None
     i = pl.program_id(0)
     t_hi = tb_ref[i]
 
@@ -124,8 +182,12 @@ def _greedy_kernel(tb_ref, coeffs_ref, order_ref, nrem_ref, x0_ref,
         for l in range(lookahead):
             idx_l = order[l:l + 1, :]            # [1, TN]
             cand = jnp.where(rows == idx_l, 0, coeffs)
-            errs_l = _eval_lanes(cand.reshape(3, 8, 8, tn),
-                                 x0, sc, ymax, xmax, csfd, chroma)
+            if aux420c is not None:
+                errs_l = _eval_lanes_420c(cand.reshape(3, 8, 8, tn),
+                                          *aux420c, csfd)
+            else:
+                errs_l = _eval_lanes(cand.reshape(3, 8, 8, tn),
+                                     x0, sc, ymax, xmax, csfd, chroma)
             errs_l = jnp.where(nrem > l, errs_l, jnp.inf)
             if l == 0:
                 best_err = errs_l
@@ -158,7 +220,8 @@ def _greedy_kernel(tb_ref, coeffs_ref, order_ref, nrem_ref, x0_ref,
                                    "mode"))
 def zeroing_loop_lanes(coeffs_t, order_t, nrem, x0, sc, ymax2, xmax2,
                        lim2, tile_bounds, lookahead=3, early_exit=False,
-                       interpret=False, mode="444", chroma_t=None):
+                       interpret=False, mode="444", chroma_t=None,
+                       aux420c=None):
     """Run the whole greedy zeroing loop on lane-major state.
 
     Args:
@@ -205,6 +268,18 @@ def zeroing_loop_lanes(coeffs_t, order_t, nrem, x0, sc, ymax2, xmax2,
             pl.BlockSpec((2, 8, 8, tn), lambda i, *_: (0, 0, 0, i),
                          memory_space=pltpu.VMEM))  # frozen chroma
         operands.append(chroma_t)
+    elif mode == "420c":
+        # (nu, nv, y16, x0c, scc, ymaxc, xmaxc, validc) -- see
+        # _eval_lanes_420c for shapes; lane axis minor throughout.
+        shapes = [(10, 10, tn), (10, 10, tn), (16, 16, tn),
+                  (2, 2, 3, 8, 8, tn), (2, 2, 3, tn), (2, 2, tn),
+                  (2, 2, tn), (2, 2, tn)]
+        for shp in shapes:
+            nl = len(shp) - 1
+            in_specs.append(pl.BlockSpec(
+                shp, (lambda nl: lambda i, *_: (0,) * nl + (i,))(nl),
+                memory_space=pltpu.VMEM))
+        operands.extend(aux420c)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -243,6 +318,18 @@ def fused_available(mode="444"):
             z32 = jnp.zeros((K, tn), jnp.int32)
             chroma = (jnp.full((2, 8, 8, tn), 128, jnp.int32)
                       if mode == "420y" else None)
+            aux420c = None
+            if mode == "420c":
+                aux420c = (
+                    jnp.zeros((10, 10, tn), jnp.int32),
+                    jnp.zeros((10, 10, tn), jnp.int32),
+                    jnp.full((16, 16, tn), 128, jnp.int32),
+                    jnp.zeros((2, 2, 3, 8, 8, tn), jnp.float32),
+                    jnp.ones((2, 2, 3, tn), jnp.float32),
+                    jnp.full((2, 2, tn), 7, jnp.int32),
+                    jnp.full((2, 2, tn), 7, jnp.int32),
+                    jnp.ones((2, 2, tn), jnp.int32),
+                )
             out = zeroing_loop_lanes(
                 z32, z32, jnp.ones((1, tn), jnp.int32),
                 jnp.zeros((3, 8, 8, tn), jnp.float32),
@@ -252,7 +339,7 @@ def fused_available(mode="444"):
                 jnp.ones((1, tn), jnp.float32),
                 jnp.ones((1,), jnp.int32),
                 interpret=jax.default_backend() == "cpu",
-                mode=mode, chroma_t=chroma)
+                mode=mode, chroma_t=chroma, aux420c=aux420c)
             jax.block_until_ready(out)
             _FUSED_OK[mode] = True
         except Exception as e:                      # noqa: BLE001

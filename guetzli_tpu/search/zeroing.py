@@ -464,22 +464,30 @@ def _fused_wanted(mode, put, nb):
     f = config.current().zeroing_fused
     if f is False or nb == 0:
         return False
-    if mode not in ("444pl", "444l", "444", "420yl", "420y"):
-        return False          # 420 chroma pass / matrix-aux keep XLA
+    if mode not in ("444pl", "444l", "444", "420yl", "420y",
+                    "420cl", "420c"):
+        return False          # matrix-aux modes keep the XLA loop
     if put is not None and put is not jnp.asarray:
         return False          # mesh-sharded encodes keep the GSPMD path
     if f is None:
         # Auto: accelerator only. 444 encodes signal it via the mode
-        # ('444pl' = pallas auto on TPU); the 420 Y pass has no
+        # ('444pl' = pallas auto on TPU); the 420 passes have no
         # pallas-switched mode name, so check the backend directly.
-        if mode in ("420yl", "420y"):
+        if mode in ("420yl", "420y", "420cl", "420c"):
             if jax.default_backend() == "cpu":
                 return False
         elif mode != "444pl":
             return False
     from guetzli_tpu.kernels import zeroing_loop
-    kmode = "420y" if mode in ("420yl", "420y") else "444"
-    return zeroing_loop.fused_available(kmode)
+    return zeroing_loop.fused_available(_kmode(mode))
+
+
+def _kmode(mode):
+    if mode in ("420yl", "420y"):
+        return "420y"
+    if mode in ("420cl", "420c"):
+        return "420c"
+    return "444"
 
 
 def _fused_core(blocks, orig_blocks, limit, aux, comp_mask, lookahead,
@@ -583,16 +591,39 @@ def _fused_program(blocks_p, order0, n_cand, aux_d, perm_pad, lim_p,
     order_t = jnp.transpose(order0.astype(jnp.int32))
     aux_p = tuple(a[perm_pad] for a in aux_d)
     chroma_t = None
+    aux420c = None
     if kmode == "420y":
         chroma_t = jnp.transpose(aux_p[0].astype(jnp.int32),
                                  (1, 2, 3, 0))
         aux_p = aux_p[1:]
-    x0, sc, ymax, xmax = tl.transpose_aux_444(*aux_p)
+    if kmode == "420c":
+        # (neigh_u, neigh_v, y16, xyb0_sub, scales_sub, ysel_sub,
+        #  xsel_sub, valid) -> the kernel's lane-minor layouts
+        # (_eval_lanes_420c; sub-blocks as leading dims).
+        nu, nv, y16, x0s, scs, ysub, xsub, val = aux_p
+        aux420c = (
+            jnp.transpose(nu.astype(jnp.int32), (1, 2, 0)),
+            jnp.transpose(nv.astype(jnp.int32), (1, 2, 0)),
+            jnp.transpose(y16.astype(jnp.int32), (1, 2, 0)),
+            jnp.transpose(x0s.reshape(nbp, 2, 2, 3, 8, 8),
+                          (1, 2, 3, 4, 5, 0)),
+            jnp.transpose(scs, (1, 2, 3, 0)),
+            jnp.transpose(ysub[..., 7].astype(jnp.int32), (1, 2, 0)),
+            jnp.transpose(xsub[..., 7].astype(jnp.int32), (1, 2, 0)),
+            jnp.transpose(val.astype(jnp.int32), (1, 2, 0)),
+        )
+        # The generic 444 aux operands become small dummies (the kernel
+        # loads but never uses them in this mode).
+        x0 = jnp.zeros((3, 8, 8, nbp), jnp.float32)
+        sc = jnp.ones((3, nbp), jnp.float32)
+        ymax = xmax = jnp.full((nbp,), 7, jnp.int32)
+    else:
+        x0, sc, ymax, xmax = tl.transpose_aux_444(*aux_p)
     out_idx_t, out_err_t = zeroing_loop.zeroing_loop_lanes(
         coeffs_t, order_t, n_cand[None, :], x0, sc, ymax[None, :],
         xmax[None, :], lim_p[None, :], tile_bounds,
         lookahead=lookahead, early_exit=early_exit, interpret=interpret,
-        mode=kmode, chroma_t=chroma_t)
+        mode=kmode, chroma_t=chroma_t, aux420c=aux420c)
     return jnp.transpose(out_idx_t), jnp.transpose(out_err_t)
 
 
@@ -623,10 +654,9 @@ def compute_zeroing_csr_staged(blocks, orig_blocks, limit, aux, mode,
     path-independent (tests/test_zeroing_fused.py).
     """
     if _fused_wanted(mode, put, blocks.shape[0]):
-        kmode = "420y" if mode in ("420yl", "420y") else "444"
         bank_idx, bank_err, perm, inv_perm, limit_np = _fused_core(
             blocks, orig_blocks, limit, aux, comp_mask, lookahead,
-            new_model, early_exit, kmode)
+            new_model, early_exit, _kmode(mode))
     else:
         bank_idx, bank_err, perm, inv_perm, limit_np = _staged_core(
             blocks, orig_blocks, limit, aux, mode, comp_mask, lookahead,

@@ -158,3 +158,24 @@ def test_row_argsort_equivalence():
     want = np.argsort(scores, axis=1, kind="stable")
     got = zeroing._argsort_rows_stable(scores)
     np.testing.assert_array_equal(want, got)
+
+
+def test_fused_force420_end_to_end(monkeypatch):
+    """Force-420 encode through the fused 420-Y AND 420-chroma kernels
+    (interpret mode) must be byte-identical to the staged path."""
+    from guetzli_tpu import consts
+    from guetzli_tpu.search.processor import (Params, ProcessStats,
+                                              process_rgb)
+
+    with open(FIXTURES / "bees96x64.png", "rb") as f:
+        rgb, w, h = read_png(f.read())
+    p = Params()
+    p.butteraugli_target = consts.butteraugli_score_for_quality(88)
+    p.force_420 = True
+    monkeypatch.setenv("GUETZLI_TPU_ZEROING_TILE_N", "128")
+
+    monkeypatch.setenv("GUETZLI_TPU_ZEROING_FUSED", "0")
+    want = process_rgb(p, rgb, w, h, ProcessStats())
+    monkeypatch.setenv("GUETZLI_TPU_ZEROING_FUSED", "1")
+    got = process_rgb(p, rgb, w, h, ProcessStats())
+    assert want == got
