@@ -106,7 +106,14 @@ def _eval_lanes_420c(cand, nu, nv, y16, x0c, scc, ymaxc, xmaxc,
     """
     def chroma16(c8, neigh):
         v = tl.idct_lanes(c8)
-        filled = neigh.at[1:9, 1:9, :].set(v << 4)
+        # neigh[1:9, 1:9] = v << 4, without .at[].set (Mosaic has no
+        # scatter): pad v to the 10x10 frame and select the interior by
+        # iota masks.
+        padded = jnp.pad(v << 4, ((1, 1), (1, 1), (0, 0)))
+        ry = jax.lax.broadcasted_iota(jnp.int32, (10, 1, 1), 0)
+        cx = jax.lax.broadcasted_iota(jnp.int32, (1, 10, 1), 1)
+        inner = (ry >= 1) & (ry <= 8) & (cx >= 1) & (cx <= 8)
+        filled = jnp.where(inner, padded, neigh)
         return tl.upsample_16x16_lanes(filled)
 
     u16 = chroma16(cand[1], nu)

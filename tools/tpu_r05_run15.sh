@@ -1,0 +1,20 @@
+#!/bin/bash
+set -u
+cd "$(dirname "$0")/.."
+run() {
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name: $*" >&2
+  timeout "$tmo" "$@" > "tpu_r05_${name}.json" 2> "tpu_r05_${name}.log"
+  echo "=== $name rc=$? ($(tail -c 200 "tpu_r05_${name}.json" 2>/dev/null))" >&2
+}
+# Probe the 420c kernel's Mosaic compile, then validate + seed via the
+# full 420 golden rows (exercises 420y + 420c fused on hardware).
+run probe420c 2400 python -c "
+from guetzli_tpu.runtime import configure
+configure()
+import json
+from guetzli_tpu.kernels import zeroing_loop as zl
+print(json.dumps({'y': zl.fused_available('420y'), 'c': zl.fused_available('420c')}))"
+run golden420c 5400 python tools/golden_corpus.py run --match 420
+run bench_last 4000 python bench.py
+echo "r05 window15 done" >&2
